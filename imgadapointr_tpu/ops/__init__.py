@@ -1,0 +1,44 @@
+"""TPU-native geometry op library (pure functions, static shapes, custom VJPs)."""
+
+from .pointops import (
+    square_distance,
+    knn_point,
+    knn_with_distance,
+    index_points,
+    gather_points,
+    three_nn,
+    three_interpolate,
+    three_nn_interpolate,
+    furthest_point_sample,
+    fps,
+)
+from .chamfer import (
+    nn_distance,
+    chamfer_l1,
+    chamfer_l2,
+    chamfer_l2_split,
+    chamfer_l1_pm,
+)
+from .sampling import jitter_points, random_sample, random_scale, random_dropping
+
+__all__ = [
+    "square_distance",
+    "knn_point",
+    "knn_with_distance",
+    "index_points",
+    "gather_points",
+    "three_nn",
+    "three_interpolate",
+    "three_nn_interpolate",
+    "furthest_point_sample",
+    "fps",
+    "nn_distance",
+    "chamfer_l1",
+    "chamfer_l2",
+    "chamfer_l2_split",
+    "chamfer_l1_pm",
+    "jitter_points",
+    "random_sample",
+    "random_scale",
+    "random_dropping",
+]

@@ -1,0 +1,204 @@
+"""Chamfer distance — TPU-native tiled nearest-neighbour distance with custom VJP.
+
+Functional equivalent of the reference CUDA extension
+(reference: extensions/chamfer_dist/chamfer.cu:15-229 and
+extensions/chamfer_dist/__init__.py:13-110):
+
+- ``nn_distance(x, y) -> (d1, d2, i1, i2)``: per-point squared NN distance and
+  argmin index, both directions.
+- ``chamfer_l1``: ``(mean(sqrt(d1)) + mean(sqrt(d2))) / 2``
+  (reference __init__.py:64-84).
+- ``chamfer_l2``: ``mean(d1) + mean(d2)`` (reference __init__.py:28-44).
+- ``chamfer_l1_pm`` / ``chamfer_l2_split``: one-sided / split variants
+  (reference __init__.py:86-110).
+
+Design: the (B, N, M) distance matrix is never materialised. The forward pass
+scans over M in tiles, keeping a running (min, argmin) in registers/VMEM;
+peak memory is O(B·N·tile). The backward uses the saved argmin indices:
+gather for the own-direction term, batched scatter-add for the cross term —
+exactly the gradient the reference CUDA backward computes with atomicAdd
+(chamfer.cu:173-229), but deterministic.
+
+The reference's ``ignore_zeros`` flag (drop zero rows when bs==1) becomes an
+optional fixed-shape validity mask (``w1``/``w2``), which is the TPU-friendly
+generalisation: masked points contribute 0 to both directions.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_TILE = 1024  # M-tile per scan step; peak temp = B*N*TILE floats.
+
+
+def _pad_to_multiple(y: jax.Array, tile: int) -> tuple[jax.Array, int]:
+    m = y.shape[1]
+    pad = (-m) % tile
+    if pad:
+        # Pad with a sentinel far away so padded points never win the argmin.
+        y = jnp.pad(y, ((0, 0), (0, pad), (0, 0)), constant_values=1e6)
+    return y, m
+
+
+def _nn_one_direction(
+    x: jax.Array, y: jax.Array, w2: jax.Array | None, tile: int
+) -> tuple[jax.Array, jax.Array]:
+    """For each x, squared distance + index of nearest valid y. Tiled over M."""
+    y, m_true = _pad_to_multiple(y, tile)
+    B, N, _ = x.shape
+    M = y.shape[1]
+    num_tiles = M // tile
+
+    x32 = x.astype(jnp.float32)
+    xsq = jnp.sum(x32 * x32, axis=-1)  # (B, N)
+
+    y_tiles = y.astype(jnp.float32).reshape(B, num_tiles, tile, 3).transpose(1, 0, 2, 3)
+    if w2 is not None:
+        w = jnp.pad(w2.astype(jnp.float32), ((0, 0), (0, M - m_true)))
+        w_tiles = w.reshape(B, num_tiles, tile).transpose(1, 0, 2)
+    else:
+        w_tiles = jnp.ones((num_tiles, B, tile), jnp.float32)
+
+    def step(carry, inp):
+        best_d, best_i, base = carry
+        yt, wt = inp  # (B, tile, 3), (B, tile)
+        ysq = jnp.sum(yt * yt, axis=-1)  # (B, tile)
+        # HIGHEST precision: bf16 matmul error (~5e-3) would dominate small
+        # nearest-neighbour distances via the |x|^2 - 2x·y + |y|^2 cancellation.
+        d = (
+            xsq[:, :, None]
+            - 2.0
+            * jnp.einsum(
+                "bnc,bmc->bnm",
+                x32,
+                yt,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            + ysq[:, None, :]
+        )
+        d = jnp.where(wt[:, None, :] > 0, d, jnp.inf)
+        dmin = jnp.min(d, axis=-1)
+        amin = jnp.argmin(d, axis=-1).astype(jnp.int32) + base
+        upd = dmin < best_d
+        return (
+            jnp.where(upd, dmin, best_d),
+            jnp.where(upd, amin, best_i),
+            base + tile,
+        ), None
+
+    init = (
+        jnp.full((B, N), jnp.inf, jnp.float32),
+        jnp.zeros((B, N), jnp.int32),
+        jnp.int32(0),
+    )
+    (best_d, best_i, _), _ = jax.lax.scan(step, init, (y_tiles, w_tiles))
+    best_d = jnp.maximum(best_d, 0.0)  # numerical floor: |x-y|^2 >= 0
+    return best_d, best_i
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def nn_distance(
+    x: jax.Array,
+    y: jax.Array,
+    w1: jax.Array | None = None,
+    w2: jax.Array | None = None,
+    tile: int = _TILE,
+):
+    """Bidirectional squared NN distance.
+
+    Args:
+        x: (B, N, 3). y: (B, M, 3).
+        w1: optional (B, N) validity mask for x; invalid x rows get d1=0.
+        w2: optional (B, M) validity mask for y; invalid y rows get d2=0 and
+            are excluded as neighbour candidates.
+        tile: scan tile size over the opposite cloud.
+    Returns:
+        ``(d1, d2, i1, i2)`` with d1:(B,N) sqdist x→nearest y, i1:(B,N) its
+        index, and symmetrically d2/i2:(B,M).
+    """
+    d1, i1 = _nn_one_direction(x, y, w2, tile)
+    d2, i2 = _nn_one_direction(y, x, w1, tile)
+    if w1 is not None:
+        d1 = d1 * w1
+    if w2 is not None:
+        d2 = d2 * w2
+    return d1, d2, i1, i2
+
+
+def _nn_distance_fwd(x, y, w1, w2, tile):
+    out = nn_distance(x, y, w1, w2, tile)
+    d1, d2, i1, i2 = out
+    return out, (x, y, w1, w2, i1, i2)
+
+
+def _scatter_add_rows(n_rows: int, idx: jax.Array, vals: jax.Array) -> jax.Array:
+    """Batched ``out[b, idx[b, j]] += vals[b, j]`` with out shape (B, n_rows, C)."""
+
+    def one(i, v):
+        return jnp.zeros((n_rows, v.shape[-1]), v.dtype).at[i].add(v)
+
+    return jax.vmap(one)(idx, vals)
+
+
+def _nn_distance_bwd(tile, res, grads):
+    x, y, w1, w2, i1, i2 = res
+    g1, g2, _, _ = grads  # cotangents of d1, d2 (indices are int outputs)
+    if w1 is not None:
+        g1 = g1 * w1
+    if w2 is not None:
+        g2 = g2 * w2
+
+    y_at_i1 = jnp.take_along_axis(y, i1[..., None], axis=1)  # (B, N, 3)
+    x_at_i2 = jnp.take_along_axis(x, i2[..., None], axis=1)  # (B, M, 3)
+
+    # d1 = |x - y[i1]|^2  →  ∂/∂x = 2(x - y[i1]) g1 ; ∂/∂y[i1] -= same
+    gx_own = 2.0 * (x - y_at_i1) * g1[..., None]
+    gy_own = 2.0 * (y - x_at_i2) * g2[..., None]
+    gx = gx_own + _scatter_add_rows(x.shape[1], i2, -gy_own)
+    gy = gy_own + _scatter_add_rows(y.shape[1], i1, -gx_own)
+    return gx.astype(x.dtype), gy.astype(y.dtype), None, None
+
+
+nn_distance.defvjp(_nn_distance_fwd, _nn_distance_bwd)
+
+
+def chamfer_l1(x, y, w1=None, w2=None):
+    """CD-L1: ``(mean(sqrt(d1)) + mean(sqrt(d2))) / 2``.
+
+    With masks, per-direction means divide by the number of *valid* points.
+    Reference: extensions/chamfer_dist/__init__.py:64-84.
+    """
+    d1, d2, _, _ = nn_distance(x, y, w1, w2)
+    s1 = jnp.sqrt(jnp.maximum(d1, 1e-24))
+    s2 = jnp.sqrt(jnp.maximum(d2, 1e-24))
+    return (_masked_mean(s1, w1) + _masked_mean(s2, w2)) / 2.0
+
+
+def chamfer_l2(x, y, w1=None, w2=None):
+    """CD-L2: ``mean(d1) + mean(d2)`` (reference __init__.py:28-44)."""
+    d1, d2, _, _ = nn_distance(x, y, w1, w2)
+    return _masked_mean(d1, w1) + _masked_mean(d2, w2)
+
+
+def chamfer_l2_split(x, y, w1=None, w2=None):
+    """Split CD-L2 returning ``(mean(d1), mean(d2))`` (reference __init__.py:46-63)."""
+    d1, d2, _, _ = nn_distance(x, y, w1, w2)
+    return _masked_mean(d1, w1), _masked_mean(d2, w2)
+
+
+def chamfer_l1_pm(x, y, w1=None, w2=None):
+    """One-sided (partial-matching) CD-L1: ``mean(sqrt(d1))``
+    (reference __init__.py:86-110)."""
+    d1, _, _, _ = nn_distance(x, y, w1, w2)
+    return _masked_mean(jnp.sqrt(jnp.maximum(d1, 1e-24)), w1)
+
+
+def _masked_mean(v: jax.Array, w: jax.Array | None) -> jax.Array:
+    if w is None:
+        return jnp.mean(v)
+    w = w.astype(v.dtype)
+    return jnp.sum(v * w) / jnp.maximum(jnp.sum(w), 1.0)

@@ -1,0 +1,187 @@
+"""Core point-cloud geometry ops (pure XLA, shape-static, batched).
+
+Functional equivalents of the reference's dense geometry helpers
+(reference: models/Transformer_utils.py:19-69) and of the pointnet2_ops CUDA
+kernels ``three_nn``/``three_interpolate``/``gather_operation``
+(reference: models/Transformer_utils.py:228-232, models/base_blocks.py:548-563).
+
+All functions are jit-safe (static shapes, no Python control flow on traced
+values) and differentiable where the reference op is differentiable.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def square_distance(src: jax.Array, dst: jax.Array) -> jax.Array:
+    """Pairwise squared Euclidean distance.
+
+    Args:
+        src: (..., N, C) source points.
+        dst: (..., M, C) target points.
+    Returns:
+        (..., N, M) squared distances.
+
+    Matches reference models/Transformer_utils.py:32-51:
+    ``-2 src·dstᵀ + |src|² + |dst|²``.
+    """
+    # Precision.HIGHEST: on TPU the default bf16 matmul loses ~5e-3 absolute
+    # on the -2x·y term, which breaks the |x-y|^2 cancellation. K=3 makes this
+    # matmul bandwidth-bound, so full-precision costs nothing.
+    d = -2.0 * jnp.einsum(
+        "...nc,...mc->...nm",
+        src,
+        dst,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    d = d + jnp.sum(src.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+    d = d + jnp.sum(dst.astype(jnp.float32) ** 2, axis=-1)[..., None, :]
+    return d
+
+
+def knn_point(nsample: int, xyz: jax.Array, new_xyz: jax.Array) -> jax.Array:
+    """Indices of the ``nsample`` nearest neighbours in ``xyz`` for each query.
+
+    Args:
+        nsample: number of neighbours (static).
+        xyz: (B, N, C) reference points.
+        new_xyz: (B, S, C) query points.
+    Returns:
+        (B, S, nsample) int32 indices into ``xyz``.
+
+    Matches reference models/Transformer_utils.py:19-30
+    (``topk(largest=False)`` over the dense distance matrix). Ascending
+    distance order (the reference uses ``sorted=False``; downstream consumers
+    are order-invariant gathers/maxpools).
+    """
+    sqrdists = square_distance(new_xyz, xyz)
+    _, idx = jax.lax.top_k(-sqrdists, nsample)
+    return idx.astype(jnp.int32)
+
+
+def knn_with_distance(
+    nsample: int, xyz: jax.Array, new_xyz: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Like :func:`knn_point` but also returns the squared distances."""
+    sqrdists = square_distance(new_xyz, xyz)
+    neg, idx = jax.lax.top_k(-sqrdists, nsample)
+    return -neg, idx.astype(jnp.int32)
+
+
+def index_points(points: jax.Array, idx: jax.Array) -> jax.Array:
+    """Batched gather: ``out[b, ..., :] = points[b, idx[b, ...], :]``.
+
+    Args:
+        points: (B, N, C).
+        idx: (B, S) or (B, S, K) int indices.
+    Returns:
+        (B, S, C) or (B, S, K, C).
+
+    Matches reference models/Transformer_utils.py:53-69.
+    """
+    return jax.vmap(lambda p, i: p[i])(points, idx)
+
+
+def gather_points(points: jax.Array, idx: jax.Array) -> jax.Array:
+    """Alias of :func:`index_points` (pointnet2 ``gather_operation`` in B-N-C layout)."""
+    return index_points(points, idx)
+
+
+def three_nn(unknown: jax.Array, known: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """For each query point, the 3 nearest reference points.
+
+    Args:
+        unknown: (B, N, 3) query positions.
+        known: (B, M, 3) reference positions.
+    Returns:
+        ``(dist, idx)``: (B, N, 3) *euclidean* (not squared) distances and
+        (B, N, 3) int32 indices — pointnet2 ``three_nn`` semantics
+        (reference usage: models/Transformer_utils.py:228, :353, :584).
+    """
+    sqdist, idx = knn_with_distance(3, known, unknown)
+    dist = jnp.sqrt(jnp.maximum(sqdist, 0.0))
+    return dist, idx
+
+
+def three_interpolate(feats: jax.Array, idx: jax.Array, weight: jax.Array) -> jax.Array:
+    """Weighted interpolation of features at 3 neighbour indices.
+
+    Args:
+        feats: (B, M, C) features at the reference points (B-N-C layout; the
+            reference CUDA op uses channels-first, callers here stay B-N-C).
+        idx: (B, N, 3) neighbour indices.
+        weight: (B, N, 3) interpolation weights.
+    Returns:
+        (B, N, C) interpolated features.
+    """
+    nbr = index_points(feats, idx)  # B N 3 C
+    return jnp.einsum("bnkc,bnk->bnc", nbr, weight)
+
+
+def three_nn_interpolate(
+    unknown: jax.Array, known: jax.Array, feats: jax.Array, eps: float = 1e-8
+) -> jax.Array:
+    """Fused inverse-distance 3-NN interpolation.
+
+    Combines the reference's ``three_nn`` + reciprocal-distance weighting +
+    ``three_interpolate`` chain (models/Transformer_utils.py:228-232):
+    ``w_i = (1/(d_i+eps)) / Σ_j 1/(d_j+eps)``.
+    """
+    dist, idx = three_nn(unknown, known)
+    recip = 1.0 / (dist + eps)
+    weight = recip / jnp.sum(recip, axis=-1, keepdims=True)
+    return three_interpolate(feats, idx, weight)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def furthest_point_sample(xyz: jax.Array, npoint: int) -> jax.Array:
+    """Farthest point sampling — indices of ``npoint`` spread-out points.
+
+    Iterative argmax over a running min-distance cache, seeded at index 0,
+    matching the pointnet2 CUDA kernel semantics used by the reference
+    (utils/misc.py:32-40, models/base_blocks.py:547-563).
+
+    Args:
+        xyz: (B, N, 3).
+        npoint: static number of samples.
+    Returns:
+        (B, npoint) int32 indices.
+    """
+    B, N, _ = xyz.shape
+    xyz = xyz.astype(jnp.float32)
+    xsq = jnp.sum(xyz * xyz, axis=-1)  # (B, N), reused every iteration
+
+    def body(i, state):
+        mindist, idxs, last = state
+        lastp = jnp.take_along_axis(xyz, last[:, None, None], axis=1)  # B 1 3
+        last_sq = jnp.take_along_axis(xsq, last[:, None], axis=1)  # B 1
+        # |x - p|^2 = |x|^2 - 2 x·p + |p|^2  (one small matvec, VPU-friendly)
+        d = (
+            xsq
+            - 2.0
+            * jnp.einsum(
+                "bnc,bmc->bn", xyz, lastp, precision=jax.lax.Precision.HIGHEST
+            )
+            + last_sq
+        )
+        mindist = jnp.minimum(mindist, d)
+        nxt = jnp.argmax(mindist, axis=-1).astype(jnp.int32)
+        idxs = jax.lax.dynamic_update_index_in_dim(idxs, nxt, i, axis=1)
+        return mindist, idxs, nxt
+
+    init_idx = jnp.zeros((B,), jnp.int32)
+    idxs = jnp.zeros((B, npoint), jnp.int32)
+    mindist = jnp.full((B, N), 1e10, jnp.float32)
+    _, idxs, _ = jax.lax.fori_loop(1, npoint, body, (mindist, idxs, init_idx))
+    return idxs
+
+
+def fps(data: jax.Array, number: int) -> jax.Array:
+    """FPS returning the sampled coordinates (reference utils/misc.py:32-40)."""
+    idx = furthest_point_sample(jax.lax.stop_gradient(data), number)
+    return index_points(data, idx)
