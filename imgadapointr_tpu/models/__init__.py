@@ -1,0 +1,21 @@
+"""Model zoo — registry-driven, mirroring the reference's registered set
+(SURVEY.md §2.4): AdaPoinTr, ImgResNetEncAdaPoinTrVariableLoss,
+SegEncAdaPoinTr, ImgEncSegDecAdaPoinTrVariableLoss, FoldingNet, PCN, TopNet,
+GRNet, SnowFlakeNet (+ GDANet submodule)."""
+
+from ..utils.registry import MODELS, build_model_from_cfg
+from . import adapointr  # noqa: F401  (registers AdaPoinTr)
+from .adapointr import AdaPoinTrBase, rebuild_factor
+from .losses import adapointr_loss, cycle_alpha, denoise_targets
+from .pctransformer import PCTransformer
+
+__all__ = [
+    "MODELS",
+    "build_model_from_cfg",
+    "AdaPoinTrBase",
+    "rebuild_factor",
+    "adapointr_loss",
+    "cycle_alpha",
+    "denoise_targets",
+    "PCTransformer",
+]

@@ -120,6 +120,10 @@ def nn_distance(
         ``(d1, d2, i1, i2)`` with d1:(B,N) sqdist x→nearest y, i1:(B,N) its
         index, and symmetrically d2/i2:(B,M).
     """
+    # Barrier: without it XLA tries to fuse whatever produced x/y (model
+    # reshape/slice chains) into the scan body below, and its fusion search
+    # explodes (observed 60-500s compiles). Inputs are tiny; isolation is free.
+    x, y = jax.lax.optimization_barrier((x, y))
     d1, i1 = _nn_one_direction(x, y, w2, tile)
     d2, i2 = _nn_one_direction(y, x, w1, tile)
     if w1 is not None:
