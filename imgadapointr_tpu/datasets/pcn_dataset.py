@@ -1,0 +1,199 @@
+"""PCN dataset family (host-side, numpy; registry-driven).
+
+Reference datasets/BasePCNDataset.py:21-118 and subclasses
+(datasets/PCNDataset.py, ImgPCNDataset.py, SegImgPCNDataset.py):
+file-list dataset over the PCN.json category file; per sample a random
+render pick (train) of the partial cloud, the complete gt, optionally one of
+24 rendered RGB images (picked at list-build time) and a 16-way class
+one-hot for the segmentation branch.
+
+Images are decoded to (224, 224, 3) float32 in [0, 1], channels-last (the
+reference used torchvision Resize(224)+ToTensor, channels-first).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from ..utils.io_module import IO
+from ..utils.registry import DATASETS
+from .transforms import Compose
+
+SEG_LIST = ["02691156", "03001627", "03636649", "04379243"]
+
+CLASSES = {
+    "02691156": 0, "02773838": 1, "02954340": 2, "02958343": 3, "03001627": 4,
+    "03261776": 5, "03467517": 6, "03624134": 7, "03636649": 8, "03642806": 9,
+    "03790512": 10, "03797390": 11, "03948459": 12, "04099429": 13,
+    "04225987": 14, "04379243": 15,
+}
+
+
+def _load_image(path: str, size: int = 224) -> np.ndarray:
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB")
+    w, h = img.size
+    # torchvision Resize(224): shorter side → 224, keep aspect; PCN renders
+    # are square so this is just a square resize.
+    if w <= h:
+        img = img.resize((size, int(round(h * size / w))))
+    else:
+        img = img.resize((int(round(w * size / h)), size))
+    arr = np.asarray(img, dtype=np.float32) / 255.0
+    return arr[:size, :size]
+
+
+class BasePCNDataset:
+    def __init__(
+        self,
+        config,
+        include_images=False,
+        num_imgs_per_obj=1,
+        include_segmentation=False,
+        seg_list=None,
+        classes=None,
+        seed: int = 0,
+    ):
+        self.partial_points_path = config.PARTIAL_POINTS_PATH
+        self.complete_points_path = config.COMPLETE_POINTS_PATH
+        self.category_file = config.CATEGORY_FILE_PATH
+        self.npoints = config.N_POINTS
+        self.subset = config.others.subset if "others" in config else config.subset
+        self.cars = bool(config.get("CARS", False))
+        self.include_images = include_images
+        self.num_imgs_per_obj = num_imgs_per_obj
+        self.include_segmentation = include_segmentation
+        self.seg_list = seg_list
+        self.classes = classes
+        self._list_rng = np.random.default_rng(seed)
+
+        if self.include_images:
+            self.img_path = config.IMG_PATH
+            self.img_idxs = list(range(24))
+
+        with open(self.category_file) as f:
+            self.dataset_categories = json.load(f)
+        if self.cars:
+            self.dataset_categories = [
+                dc for dc in self.dataset_categories if dc["taxonomy_id"] == "02958343"
+            ]
+
+        self.n_renderings = 8 if self.subset == "train" else 1
+        self.file_list = self._get_file_list(self.subset, self.n_renderings)
+        self.transforms = self._get_transforms(self.subset)
+
+    def _get_transforms(self, subset):
+        raise NotImplementedError
+
+    def _get_file_list(self, subset, n_renderings=1):
+        file_list = []
+        for dc in self.dataset_categories:
+            for s in dc[subset]:
+                detail = {
+                    "taxonomy_id": dc["taxonomy_id"],
+                    "model_id": s,
+                    "partial_path": [
+                        self.partial_points_path % (subset, dc["taxonomy_id"], s, i)
+                        for i in range(n_renderings)
+                    ],
+                    "gt_path": self.complete_points_path
+                    % (subset, dc["taxonomy_id"], s),
+                }
+                if self.include_images:
+                    # reference picks the render(s) at list-build time
+                    # (BasePCNDataset.py:72-75, last pick wins)
+                    img_sample = self._list_rng.choice(
+                        self.img_idxs, size=self.num_imgs_per_obj, replace=False
+                    )
+                    detail["img_path"] = self.img_path % (
+                        subset, dc["taxonomy_id"], s, int(img_sample[-1]),
+                    )
+                if self.include_segmentation:
+                    cls_vec = np.zeros(16, np.float32)
+                    if dc["taxonomy_id"] in self.seg_list:
+                        cls_vec[self.classes[dc["taxonomy_id"]]] = 1
+                    detail["cls_vec"] = cls_vec
+                file_list.append(detail)
+        return file_list
+
+    def __len__(self):
+        return len(self.file_list)
+
+    def get(self, idx: int, rng: np.random.Generator):
+        """Fetch one sample. Returns (taxonomy_id, model_id, dict of arrays)."""
+        sample = self.file_list[idx]
+        rand_idx = int(rng.integers(0, self.n_renderings)) if self.subset == "train" else 0
+        data = {}
+        for ri in ("partial", "gt"):
+            path = sample[f"{ri}_path"]
+            if isinstance(path, list):
+                path = path[rand_idx]
+            data[ri] = IO.get(path).astype(np.float32)
+        if self.transforms is not None:
+            data = self.transforms(data, rng)
+        out = {"partial": data["partial"], "gt": data["gt"]}
+        if self.include_images:
+            out["img"] = _load_image(sample["img_path"])
+        if "cls_vec" in sample:
+            out["cls_vec"] = sample["cls_vec"]
+        return sample["taxonomy_id"], sample["model_id"], out
+
+
+_PCN_TRAIN_TRANSFORMS = [
+    {"callback": "RandomSamplePoints", "parameters": {"n_points": 2048}, "objects": ["partial"]},
+    {"callback": "RandomMirrorPoints", "objects": ["partial", "gt"]},
+    {"callback": "ToArray", "objects": ["partial", "gt"]},
+]
+_PCN_EVAL_TRANSFORMS = [
+    {"callback": "RandomSamplePoints", "parameters": {"n_points": 2048}, "objects": ["partial"]},
+    {"callback": "ToArray", "objects": ["partial", "gt"]},
+]
+
+
+@DATASETS.register_module(name="PCN")
+class PCN(BasePCNDataset):
+    def _get_transforms(self, subset):
+        return Compose(
+            _PCN_TRAIN_TRANSFORMS if subset == "train" else _PCN_EVAL_TRANSFORMS
+        )
+
+
+@DATASETS.register_module(name="PCNv2")
+class PCNv2(BasePCNDataset):
+    def _get_transforms(self, subset):
+        up = {"callback": "UpSamplePoints", "parameters": {"n_points": 2048}, "objects": ["partial"]}
+        rest = (
+            [{"callback": "RandomMirrorPoints", "objects": ["partial", "gt"]}]
+            if subset == "train"
+            else []
+        )
+        return Compose([up] + rest + [{"callback": "ToArray", "objects": ["partial", "gt"]}])
+
+
+@DATASETS.register_module(name="ImgPCN")
+class ImgPCN(BasePCNDataset):
+    def __init__(self, config, num_imgs_per_obj=1, **kw):
+        super().__init__(config, include_images=True, num_imgs_per_obj=num_imgs_per_obj, **kw)
+
+    def _get_transforms(self, subset):
+        return Compose(
+            _PCN_TRAIN_TRANSFORMS if subset == "train" else _PCN_EVAL_TRANSFORMS
+        )
+
+
+@DATASETS.register_module(name="SegImgPCN")
+class SegImgPCN(BasePCNDataset):
+    def __init__(self, config, num_imgs_per_obj=6, **kw):
+        super().__init__(
+            config, include_images=True, num_imgs_per_obj=num_imgs_per_obj,
+            include_segmentation=True, seg_list=SEG_LIST, classes=CLASSES, **kw,
+        )
+
+    def _get_transforms(self, subset):
+        return Compose(
+            _PCN_TRAIN_TRANSFORMS if subset == "train" else _PCN_EVAL_TRANSFORMS
+        )

@@ -118,4 +118,12 @@ class AdaPoinTrBase(nn.Module):
 
 @MODELS.register_module(name="AdaPoinTr")
 def build_adapointr(config, **kwargs):
-    return AdaPoinTrBase(config, **kwargs)
+    from .build import ModelSpec
+    from .losses import adapointr_loss
+
+    factor = rebuild_factor(config)
+    return ModelSpec(
+        module=AdaPoinTrBase(config, **kwargs),
+        loss_fn=lambda ret, gt, epoch: adapointr_loss(ret, gt, factor),
+        inputs=("partial",),
+    )

@@ -20,6 +20,7 @@ from .chamfer import (
     chamfer_l1_pm,
 )
 from .sampling import jitter_points, random_sample, random_scale, random_dropping
+from .emd import emd_auction, emd_distance_metric
 
 __all__ = [
     "square_distance",

@@ -1,0 +1,65 @@
+"""Device mesh construction and sharding rules (dp × tp over ICI).
+
+Replaces the reference's process-per-GPU NCCL topology
+(utils/dist_utils.py:9-24, scripts/dist_train.sh): one jit-compiled train
+step over a ``Mesh(('data', 'model'))``; gradient averaging, metric means
+and tensor-parallel collectives all compile to XLA all-reduces over ICI
+(DCN across slices via ``jax.distributed.initialize`` on multi-host).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(devices=None, tp: int = 1) -> Mesh:
+    """(n_devices/tp) × tp mesh with axes ('data', 'model')."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    assert n % tp == 0, f"{n} devices not divisible by tp={tp}"
+    arr = np.asarray(devices).reshape(n // tp, tp)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch axis over 'data', replicated over 'model'."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def param_sharding_rules(params, mesh: Mesh, min_size: int = 1 << 16):
+    """Tensor-parallel shardings: large 2-D kernels split on the output dim
+    over 'model'; everything else replicated. XLA/GSPMD inserts the
+    all-gathers/reduce-scatters this layout implies.
+
+    With tp=1 this degenerates to pure data parallelism (the reference's
+    only strategy, SURVEY.md §2.7); the 'model' axis exists so the same jit
+    graph scales models that outgrow one chip.
+    """
+    tp = mesh.shape[MODEL_AXIS]
+
+    def rule(path, p):
+        if (
+            tp > 1
+            and p.ndim == 2
+            and p.size >= min_size
+            and p.shape[-1] % tp == 0
+        ):
+            return NamedSharding(mesh, P(None, MODEL_AXIS))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host numpy batch onto the mesh, batch dim over 'data'."""
+    s = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), batch)

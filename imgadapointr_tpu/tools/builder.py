@@ -1,0 +1,80 @@
+"""Factories: dataset loaders, optimizer, schedules.
+
+Reference tools/builder.py:14-86. AdamW masks weight decay off all 1-D
+params (biases, norm scales) exactly like add_weight_decay
+(tools/builder.py:40-53).
+"""
+
+from __future__ import annotations
+
+import jax
+import optax
+
+from ..datasets.loader import DataLoader
+from ..utils.registry import build_dataset_from_cfg
+from ..utils.schedulers import build_bnm_schedule, build_lr_schedule
+
+
+def dataset_builder(args, dataset_cfg, logger=None):
+    """Build (dataset, loader). Per-host batch = total_bs // num_hosts
+    (reference main.py:43-47 divided per rank; devices-per-host split is
+    handled by the mesh data axis)."""
+    dataset = build_dataset_from_cfg(dataset_cfg)
+    subset = dataset_cfg.others.subset
+    is_train = subset == "train"
+    num_hosts = jax.process_count()
+    if is_train:
+        bs_total = int(dataset_cfg.others.get("bs", 1))
+        assert bs_total % num_hosts == 0, "total_bs must divide across hosts"
+        bs = bs_total // num_hosts
+    else:
+        bs = int(dataset_cfg.others.get("bs", 1))
+    loader = DataLoader(
+        dataset,
+        batch_size=bs,
+        shuffle=is_train,
+        drop_last=is_train,
+        seed=getattr(args, "seed", 0),
+        num_workers=getattr(args, "num_workers", 8),
+        num_hosts=num_hosts if is_train else 1,
+        host_id=jax.process_index() if is_train else 0,
+    )
+    return dataset, loader
+
+
+def build_opt_sched(config, steps_per_epoch: int, params):
+    """Build the optax transform + (epoch→lr, epoch→bn momentum) schedules.
+
+    The LR schedule steps per optimizer update with epoch = step/steps_per_epoch
+    (the reference steps LambdaLR per epoch and GradualWarmup per iter,
+    tools/runner.py:240-248 — per-iter continuous stepping subsumes both).
+    """
+    opt_cfg = config.optimizer
+    sched_cfg = config.scheduler
+    max_epoch = int(config.get("max_epoch", 300))
+    kwargs = opt_cfg.kwargs
+    base_lr = float(kwargs.lr)
+    lr_epoch = build_lr_schedule(base_lr, sched_cfg, max_epoch)
+
+    def lr_step(step):
+        return lr_epoch(step / steps_per_epoch)
+
+    decay_mask = jax.tree.map(lambda p: p.ndim > 1, params)
+    wd = float(kwargs.get("weight_decay", 0.0))
+    if opt_cfg.type == "AdamW":
+        tx = optax.adamw(lr_step, weight_decay=wd, mask=decay_mask)
+    elif opt_cfg.type == "Adam":
+        tx = optax.adamw(lr_step, weight_decay=wd, mask=decay_mask, b1=0.9, b2=0.999)
+    elif opt_cfg.type == "SGD":
+        tx = optax.chain(
+            optax.add_decayed_weights(wd, mask=decay_mask),
+            optax.sgd(lr_step, momentum=float(kwargs.get("momentum", 0.9)), nesterov=True),
+        )
+    else:
+        raise NotImplementedError(f"optimizer {opt_cfg.type}")
+
+    grad_clip = float(config.get("grad_norm_clip", 10.0))  # runner.py:207-212
+    tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+
+    bnm_epoch = build_bnm_schedule(config.get("bnmscheduler", None))
+    return tx, lr_step, bnm_epoch

@@ -1,0 +1,405 @@
+"""Training / validation / test harness.
+
+Reference tools/runner.py:28-706, redesigned TPU-first: the whole train step
+(model fwd + losses + grad + optimizer + metric means) is ONE jit-compiled
+function over the device mesh; gradient averaging across the 'data' axis and
+metric reductions are XLA collectives, replacing DDP bucket all-reduce and
+``dist_utils.reduce_tensor`` (reference tools/runner.py:89-96, 217-220).
+
+Step timing + a jax.profiler hook replace the reference's absent tracing
+story (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.build import build_model_spec
+from ..parallel import make_mesh, param_sharding_rules, replicated, shard_batch
+from ..utils.average_meter import AverageMeter
+from ..utils.checkpoint import checkpoint_exists, load_checkpoint, save_checkpoint
+from ..utils.logger import print_log
+from ..utils.metrics import METRIC_NAMES, Metrics, compute_metrics, f_score
+from ..ops import chamfer_l1, chamfer_l2
+from .builder import build_opt_sched, dataset_builder
+
+SHAPENET_DICT_PATH = os.path.join("cfgs", "shapenet_synset_dict.json")
+
+
+class Runner:
+    """Owns model spec, sharded state, and the jitted step functions."""
+
+    def __init__(self, args, config, logger=None):
+        self.args = args
+        self.config = config
+        self.logger = logger
+        self.tp = int(getattr(args, "tp", 1) or 1)
+        self.mesh = make_mesh(tp=self.tp)
+        self.spec = build_model_spec(config.model)
+        self.module = self.spec.module
+        self.consider_metric = config.get("consider_metric", "CDL1")
+        self._jit_cache = {}
+
+    # ------------------------------------------------------------------ setup
+    def init_state(self, example_batch, seed: int = 0):
+        key = jax.random.PRNGKey(seed)
+        inputs = [jnp.asarray(example_batch[k][:1]) for k in self.spec.inputs]
+
+        def init_fn(key, *inputs):
+            return self.module.init(
+                {"params": key, "noise": key, "dropout": key}, *inputs, train=True
+            )
+
+        variables = jax.jit(init_fn)(key, *inputs)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        n_params = sum(p.size for p in jax.tree.leaves(params))
+        print_log(f"Model {self.spec.name}: {n_params/1e6:.2f}M params", self.logger)
+        return {"params": params, "batch_stats": batch_stats}
+
+    def make_train_state(self, state, steps_per_epoch: int):
+        tx, lr_sched, bnm_sched = build_opt_sched(
+            self.config, steps_per_epoch, state["params"]
+        )
+        self.tx = tx
+        self.lr_sched = lr_sched
+        self.bnm_sched = bnm_sched
+        self.steps_per_epoch = steps_per_epoch
+        # jit: eager optax init dispatches one tiny op per param leaf, which
+        # is minutes over a remote-TPU tunnel
+        opt_state = jax.jit(tx.init)(state["params"])
+        full = {
+            "params": state["params"],
+            "batch_stats": state["batch_stats"],
+            "opt_state": opt_state,
+            "step": jnp.zeros((), jnp.int32),
+        }
+        return self.shard_state(full)
+
+    def shard_state(self, state):
+        """Params replicated (or TP-sharded on the 'model' axis); everything
+        placed explicitly so jit never guesses."""
+        p_shard = param_sharding_rules(state["params"], self.mesh)
+        rep = replicated(self.mesh)
+        out = dict(state)
+        # single batched device_put per tree (per-leaf puts are slow over a
+        # remote-TPU tunnel); opt_state starts replicated — under tp>1 GSPMD
+        # propagates the param shardings into the moments on the first update
+        out["params"] = jax.device_put(state["params"], p_shard)
+        out["batch_stats"] = jax.device_put(
+            state["batch_stats"], jax.tree.map(lambda _: rep, state["batch_stats"])
+        )
+        if "opt_state" in state:
+            out["opt_state"] = jax.device_put(
+                state["opt_state"],
+                jax.tree.map(lambda _: rep, state["opt_state"]),
+            )
+        return out
+
+    # ------------------------------------------------------------- train step
+    def _train_step(self, state, batch, rng, epoch_f):
+        spec = self.spec
+        bnm = self.bnm_sched(epoch_f)
+
+        def loss_fn(params):
+            inputs = [batch[k] for k in spec.inputs]
+            variables = {"params": params, "batch_stats": state["batch_stats"]}
+            ret, upd = self.module.apply(
+                variables, *inputs, train=True, bn_momentum=bnm,
+                rngs={"noise": rng, "dropout": rng},
+                mutable=["batch_stats"],
+            )
+            sparse, dense = spec.loss_fn(ret, batch["gt"], epoch_f)
+            return sparse + dense, (sparse, dense, upd["batch_stats"])
+
+        (total, (sparse, dense, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state["params"])
+        updates, new_opt = self.tx.update(grads, state["opt_state"], state["params"])
+        new_params = optax.apply_updates(state["params"], updates)
+        new_state = {
+            "params": new_params,
+            "batch_stats": new_bs,
+            "opt_state": new_opt,
+            "step": state["step"] + 1,
+        }
+        metrics = {
+            "sparse_loss": sparse,
+            "dense_loss": dense,
+            "total_loss": total,
+            "grad_norm": optax.global_norm(grads),
+            "lr": self.lr_sched(state["step"]),
+        }
+        return new_state, metrics
+
+    def train_step(self, state, batch, rng, epoch_f):
+        if "train" not in self._jit_cache:
+            self._jit_cache["train"] = jax.jit(
+                self._train_step, donate_argnums=(0,)
+            )
+        batch = shard_batch(batch, self.mesh)
+        return self._jit_cache["train"](state, batch, rng, jnp.asarray(epoch_f))
+
+    # -------------------------------------------------------------- eval step
+    def _eval_step(self, params, batch_stats, batch):
+        inputs = [batch[k] for k in self.spec.inputs]
+        coarse, dense = self.module.apply(
+            {"params": params, "batch_stats": batch_stats}, *inputs, train=False
+        )
+        gt = batch["gt"]
+        m = {
+            "sparse_l1": chamfer_l1(coarse, gt) * 1000.0,
+            "sparse_l2": chamfer_l2(coarse, gt) * 1000.0,
+            "dense_l1": chamfer_l1(dense, gt) * 1000.0,
+            "dense_l2": chamfer_l2(dense, gt) * 1000.0,
+            "f_score": f_score(dense, gt),
+        }
+        return m, (coarse, dense)
+
+    def eval_step(self, state, batch):
+        if "eval" not in self._jit_cache:
+            self._jit_cache["eval"] = jax.jit(self._eval_step)
+        batch = shard_batch(batch, self.mesh)
+        return self._jit_cache["eval"](state["params"], state["batch_stats"], batch)
+
+    def _test_step(self, params, batch_stats, batch, require_emd):
+        m, (coarse, dense) = self._eval_step(params, batch_stats, batch)
+        vals = compute_metrics(dense, batch["gt"], require_emd=require_emd)
+        m["metrics"] = vals
+        return m
+
+    def test_step(self, state, batch, require_emd=False):
+        key = ("test", require_emd)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(
+                lambda p, bs, b: self._test_step(p, bs, b, require_emd)
+            )
+        batch = shard_batch(batch, self.mesh)
+        return self._jit_cache[key](state["params"], state["batch_stats"], batch)
+
+
+# ---------------------------------------------------------------------- train
+def run_net(args, config, writers=None):
+    logger = args.logger if hasattr(args, "logger") else None
+    train_writer, val_writer = writers if writers else (None, None)
+
+    _, train_loader = dataset_builder(args, config.dataset.train, logger)
+    _, val_loader = dataset_builder(args, config.dataset.val, logger)
+
+    runner = Runner(args, config, logger)
+    steps_per_epoch = max(len(train_loader), 1)
+
+    # init from one example batch
+    _, _, example = next(iter(train_loader))
+    state = runner.init_state(example, seed=getattr(args, "seed", 0))
+    start_epoch = 0
+    best_metrics = None
+
+    state = runner.make_train_state(state, steps_per_epoch)
+
+    if getattr(args, "resume", False) and checkpoint_exists("ckpt-last", args.experiment_path):
+        state, meta = load_checkpoint(state, "ckpt-last", args.experiment_path)
+        state = runner.shard_state(state)
+        start_epoch = int(meta.get("epoch", -1)) + 1
+        bm = meta.get("best_metrics")
+        best_metrics = Metrics(runner.consider_metric, bm) if bm else None
+        print_log(f"Resumed from epoch {start_epoch}", logger)
+    elif getattr(args, "start_ckpts", None):
+        state, _ = load_checkpoint(state, args.start_ckpts, args.experiment_path)
+        state = runner.shard_state(state)
+
+    max_epoch = int(config.max_epoch)
+    rng = jax.random.PRNGKey(getattr(args, "seed", 0))
+
+    for epoch in range(start_epoch, max_epoch):
+        train_loader.set_epoch(epoch)
+        losses = AverageMeter(["SparseLoss", "DenseLoss"])
+        batch_time = AverageMeter()
+        epoch_start = time.time()
+        n_batches = len(train_loader)
+
+        t0 = time.time()
+        for idx, (_, _, batch) in enumerate(train_loader):
+            rng, sub = jax.random.split(rng)
+            epoch_f = epoch + idx / steps_per_epoch
+            state, metrics = runner.train_step(state, batch, sub, epoch_f)
+            if idx % 100 == 0:
+                # host sync only when logging
+                m = jax.device_get(metrics)
+                losses.update([float(m["sparse_loss"]) * 1000, float(m["dense_loss"]) * 1000])
+                batch_time.update(time.time() - t0)
+                print_log(
+                    f"[Epoch {epoch}/{max_epoch}][Batch {idx + 1}/{n_batches}] "
+                    f"BatchTime = {batch_time.val():.3f}s "
+                    f"Losses = {['%.4f' % l for l in losses.val()]} "
+                    f"lr = {float(m['lr']):.6f}",
+                    logger,
+                )
+                if train_writer:
+                    step = epoch * steps_per_epoch + idx
+                    train_writer.add_scalar("Loss/Batch/Sparse", float(m["sparse_loss"]) * 1000, step)
+                    train_writer.add_scalar("Loss/Batch/Dense", float(m["dense_loss"]) * 1000, step)
+                    train_writer.add_scalar("LR/Batch", float(m["lr"]), step)
+            t0 = time.time()
+
+        epoch_time = time.time() - epoch_start
+        print_log(
+            f"[Training] EPOCH: {epoch} EpochTime = {epoch_time:.3f}s "
+            f"Losses = {['%.4f' % l for l in losses.avg()]}",
+            logger,
+        )
+        if train_writer:
+            train_writer.add_scalar("Loss/Epoch/Sparse", losses.avg(0), epoch)
+            train_writer.add_scalar("Loss/Epoch/Dense", losses.avg(1), epoch)
+
+        if epoch % int(getattr(args, "val_freq", 1)) == 0:
+            metrics = validate(runner, state, val_loader, epoch, val_writer, args, config, logger)
+            if metrics.better_than(best_metrics):
+                best_metrics = metrics
+                _save(runner, state, "ckpt-best", epoch, metrics, best_metrics, args, logger)
+        _save(runner, state, "ckpt-last", epoch, None, best_metrics, args, logger)
+        if epoch > max_epoch - 2:
+            _save(runner, state, f"ckpt-epoch-{epoch:03d}", epoch, None, best_metrics, args, logger)
+
+    if train_writer:
+        train_writer.close()
+    if val_writer:
+        val_writer.close()
+    return state
+
+
+def _save(runner, state, prefix, epoch, metrics, best_metrics, args, logger):
+    save_checkpoint(
+        state,
+        metrics.state_dict() if metrics else None,
+        best_metrics.state_dict() if best_metrics else None,
+        epoch,
+        prefix,
+        args.experiment_path,
+        logger,
+    )
+
+
+# ------------------------------------------------------------------- validate
+def validate(runner, state, val_loader, epoch, val_writer, args, config, logger=None):
+    print_log(f"[VALIDATION] Start validating epoch {epoch}", logger)
+    test_losses = AverageMeter(
+        ["SparseLossL1", "SparseLossL2", "DenseLossL1", "DenseLossL2"]
+    )
+    category_metrics: dict[str, AverageMeter] = {}
+
+    for idx, (taxonomy_ids, _, batch) in enumerate(val_loader):
+        m, _ = runner.eval_step(state, batch)
+        m = jax.device_get(m)
+        test_losses.update(
+            [
+                float(m["sparse_l1"]),
+                float(m["sparse_l2"]),
+                float(m["dense_l1"]),
+                float(m["dense_l2"]),
+            ]
+        )
+        vals = [float(m["f_score"]), float(m["dense_l1"]), float(m["dense_l2"]), 0.0]
+        tax = taxonomy_ids[0]
+        if tax not in category_metrics:
+            category_metrics[tax] = AverageMeter(METRIC_NAMES)
+        category_metrics[tax].update(vals)
+
+    # overall = mean of per-category means (reference tools/runner.py:410-411)
+    if category_metrics:
+        per_cat = np.array([am.avg() for am in category_metrics.values()])
+        overall = per_cat.mean(axis=0)
+    else:
+        overall = np.zeros(len(METRIC_NAMES))
+    print_log(
+        "[Validation] EPOCH: %d Metrics = %s" % (epoch, ["%.4f" % v for v in overall]),
+        logger,
+    )
+    for tax, am in sorted(category_metrics.items()):
+        print_log(f"  {tax}: {['%.4f' % v for v in am.avg()]}", logger)
+
+    if val_writer:
+        val_writer.add_scalar("Loss/Epoch/Sparse", test_losses.avg(0), epoch)
+        val_writer.add_scalar("Loss/Epoch/Dense", test_losses.avg(2), epoch)
+        for name, v in zip(METRIC_NAMES, overall):
+            val_writer.add_scalar(f"Metric/{name}", float(v), epoch)
+
+    return Metrics(runner.consider_metric, list(overall))
+
+
+# ----------------------------------------------------------------------- test
+def test_net(args, config):
+    logger = args.logger if hasattr(args, "logger") else None
+    print_log("Tester start ...", logger)
+    _, test_loader = dataset_builder(args, config.dataset.test, logger)
+    runner = Runner(args, config, logger)
+    _, _, example = next(iter(test_loader))
+    state = runner.init_state(example)
+    state = {"params": state["params"], "batch_stats": state["batch_stats"]}
+    if getattr(args, "ckpts", None):
+        exp, prefix = os.path.split(args.ckpts)
+        prefix = prefix.replace(".ckpt", "")
+        state, _ = load_checkpoint(state, prefix, exp)
+    state = runner.shard_state(state)
+    return test(runner, state, test_loader, args, config, logger)
+
+
+def test(runner, state, test_loader, args, config, logger=None):
+    require_emd = bool(getattr(args, "emd", True))
+    test_losses = AverageMeter(
+        ["SparseLossL1", "SparseLossL2", "DenseLossL1", "DenseLossL2"]
+    )
+    category_metrics: dict[str, AverageMeter] = {}
+    n = 0
+    for idx, (taxonomy_ids, model_ids, batch) in enumerate(test_loader):
+        m = runner.test_step(state, batch, require_emd=require_emd)
+        m = jax.device_get(m)
+        test_losses.update(
+            [
+                float(m["sparse_l1"]),
+                float(m["sparse_l2"]),
+                float(m["dense_l1"]),
+                float(m["dense_l2"]),
+            ]
+        )
+        tax = taxonomy_ids[0]
+        if tax not in category_metrics:
+            category_metrics[tax] = AverageMeter(METRIC_NAMES)
+        category_metrics[tax].update([float(v) for v in m["metrics"]])
+        n += 1
+
+    per_cat = (
+        np.array([am.avg() for am in category_metrics.values()])
+        if category_metrics
+        else np.zeros((1, len(METRIC_NAMES)))
+    )
+    overall = per_cat.mean(axis=0)
+
+    shapenet_dict = _load_shapenet_dict()
+    print_log("============================ TEST RESULTS ============================", logger)
+    header = "Taxonomy\t#Sample\t" + "\t".join(METRIC_NAMES) + "\t#ModelName"
+    print_log(header, logger)
+    for tax, am in sorted(category_metrics.items()):
+        row = f"{tax}\t{am.count(0)}\t" + "\t".join("%.4f" % v for v in am.avg())
+        row += "\t" + shapenet_dict.get(tax, tax)
+        print_log(row, logger)
+    print_log("Overall\t\t" + "\t".join("%.4f" % v for v in overall), logger)
+    return dict(zip(METRIC_NAMES, overall))
+
+
+def _load_shapenet_dict():
+    import json
+
+    for base in (os.getcwd(), os.path.dirname(os.path.dirname(os.path.dirname(__file__)))):
+        p = os.path.join(base, SHAPENET_DICT_PATH)
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+    return {}

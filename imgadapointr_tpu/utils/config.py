@@ -40,6 +40,15 @@ class AttrDict(dict):
     def __setitem__(self, key, value):
         super().__setitem__(key, _wrap(value))
 
+    def update(self, other=None, **kwargs):  # dict.update bypasses __setitem__
+        for k, v in dict(other or {}, **kwargs).items():
+            self[k] = v
+
+    def setdefault(self, key, default=None):
+        if key not in self:
+            self[key] = default
+        return self[key]
+
     def __deepcopy__(self, memo):
         return AttrDict({k: copy.deepcopy(v, memo) for k, v in self.items()})
 

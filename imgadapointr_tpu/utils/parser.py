@@ -1,0 +1,54 @@
+"""CLI arg parsing (reference utils/parser.py:5-108, same public flags).
+
+Removed: --launcher/--local_rank/--sync_bn (process topology is handled by
+jax.distributed + the mesh; cross-device batch stats fall out of the sharded
+batch axis). Added: --tp (tensor-parallel width) and --synthetic (run on the
+procedurally generated dataset when PCN data is absent).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from pathlib import Path
+
+
+def get_args(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, required=True, help="yaml config file")
+    parser.add_argument("--num_workers", type=int, default=8)
+    parser.add_argument("--seed", type=int, default=0, help="random seed")
+    parser.add_argument("--deterministic", action="store_true")
+    parser.add_argument("--exp_name", type=str, default="default", help="experiment name")
+    parser.add_argument("--start_ckpts", type=str, default=None)
+    parser.add_argument("--ckpts", type=str, default=None)
+    parser.add_argument("--val_freq", type=int, default=1)
+    parser.add_argument("--resume", action="store_true", default=False)
+    parser.add_argument("--test", action="store_true", default=False)
+    parser.add_argument("--mode", choices=["easy", "median", "hard", None], default=None)
+    parser.add_argument("--gdanet_w", type=str, default=None, help="frozen GDANet weights")
+    parser.add_argument("--wandb", action="store_true", default=False)
+    parser.add_argument("--tp", type=int, default=1, help="tensor-parallel width")
+    parser.add_argument("--synthetic", action="store_true", help="use SyntheticPCN data")
+    parser.add_argument("--no_emd", dest="emd", action="store_false", default=True)
+    args = parser.parse_args(argv)
+
+    if args.test and args.resume:
+        raise ValueError("--test and --resume cannot be both activated")
+    if args.resume and args.start_ckpts is not None:
+        raise ValueError("--resume and --start_ckpts cannot be both activated")
+    if args.test and args.ckpts is None:
+        print("[WARN] testing without --ckpts (random init)")
+
+    stem = Path(args.config).stem
+    parent = Path(args.config).parent.name
+    args.experiment_path = os.path.join("./experiments", stem, parent, args.exp_name)
+    args.tfboard_path = os.path.join("./experiments", stem, parent, "TFBoard", args.exp_name)
+    args.log_name = stem
+    create_experiment_dir(args)
+    return args
+
+
+def create_experiment_dir(args):
+    os.makedirs(args.experiment_path, exist_ok=True)
+    os.makedirs(args.tfboard_path, exist_ok=True)

@@ -1,0 +1,99 @@
+"""Epoch-based schedules (LR, BN momentum, warmup) as pure functions.
+
+Reference semantics:
+- ``lambda_lr``      → utils/misc.py:46-55 (LambdaLR with optional warmup:
+  factor = max(lr_decay^((e-warm)/decay_step), lowest_decay), warmup ramp
+  max(e/warm, 0.001)).
+- ``bn_momentum``    → utils/misc.py:57-62,119-149 (BNMomentumScheduler:
+  m(e) = max(bn_momentum·bn_decay^(e/decay_step), lowest_decay)).
+- ``gradual_warmup`` → utils/misc.py:287-346 (multiplier ramp 1→multiplier
+  over total_epoch, then hands off to the after_scheduler).
+- ``step_lr``        → torch StepLR (builder.py:76-77).
+- ``cos_lr``         → timm CosineLRScheduler usage (builder.py:78-86):
+  cosine decay from lr to min_lr over (epochs - warmup), linear warmup from
+  warmup_lr_init.
+
+All functions map ``epoch (float) -> multiplier-or-value`` and are safe to
+call with traced values (no Python branching on epoch).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+
+def lambda_lr_factor(epoch, lr_decay, decay_step, lowest_decay, warmingup_e=0):
+    e = jnp.asarray(epoch, jnp.float32)
+    decayed = jnp.maximum(lr_decay ** ((e - warmingup_e) / decay_step), lowest_decay)
+    if warmingup_e > 0:
+        warm = jnp.maximum(e / warmingup_e, 0.001)
+        return jnp.where(e >= warmingup_e, decayed, warm)
+    return decayed
+
+
+def bn_momentum(epoch, bn_momentum=0.9, bn_decay=0.5, decay_step=21, lowest_decay=0.01):
+    e = jnp.asarray(epoch, jnp.float32)
+    return jnp.maximum(bn_momentum * bn_decay ** (e / decay_step), lowest_decay)
+
+
+def step_lr_factor(epoch, decay_step, gamma=0.1):
+    e = jnp.asarray(epoch, jnp.float32)
+    return gamma ** jnp.floor(e / decay_step)
+
+
+def cos_lr_value(epoch, t_max, lr, min_lr, warmup_e=0, warmup_lr_init=1e-6):
+    e = jnp.asarray(epoch, jnp.float32)
+    warm = warmup_lr_init + (lr - warmup_lr_init) * e / max(warmup_e, 1)
+    t = jnp.clip((e - warmup_e) / max(t_max - warmup_e, 1), 0.0, 1.0)
+    cos = min_lr + 0.5 * (lr - min_lr) * (1.0 + jnp.cos(math.pi * t))
+    return jnp.where(e < warmup_e, warm, cos)
+
+
+def gradual_warmup_factor(epoch, multiplier, total_epoch):
+    """Multiplier ramp: 1 → multiplier over total_epoch epochs, 1 beyond
+    (the after-scheduler factor is composed by the caller)."""
+    e = jnp.asarray(epoch, jnp.float32)
+    ramp = 1.0 + (multiplier - 1.0) * jnp.clip(e / total_epoch, 0.0, 1.0)
+    return ramp
+
+
+def build_lr_schedule(base_lr: float, sched_cfg, max_epoch: int):
+    """Return ``f(epoch) -> lr`` from a config ``scheduler`` block."""
+    t = sched_cfg.type
+    k = sched_cfg.kwargs
+    if t == "LambdaLR":
+        return lambda e: base_lr * lambda_lr_factor(
+            e, k.lr_decay, k.decay_step, k.lowest_decay, k.get("warmingup_e", 0)
+        )
+    if t == "StepLR":
+        return lambda e: base_lr * step_lr_factor(e, k.decay_step, k.get("gamma", 0.1))
+    if t == "CosLR":
+        return lambda e: cos_lr_value(
+            e, k.get("t_max", max_epoch), base_lr,
+            k.get("min_lr", 1e-6), k.get("initial_epochs", 0),
+        )
+    if t == "GradualWarmup":
+        # reference builder.py:64-75: warmup wraps StepLR-after
+        after = k.get("after", None)
+        mult = k.get("multiplier", 1.0)
+        total = k.get("total_epoch", 1)
+        if after is not None and after.type == "StepLR":
+            ak = after.kwargs
+            base = lambda e: base_lr * step_lr_factor(e, ak.decay_step, ak.get("gamma", 0.1))
+        else:
+            base = lambda e: jnp.asarray(base_lr)
+        return lambda e: base(e) * gradual_warmup_factor(e, mult, total)
+    raise NotImplementedError(f"scheduler type {t}")
+
+
+def build_bnm_schedule(bnm_cfg):
+    """Return ``f(epoch) -> torch-style BN momentum`` from a ``bnmscheduler`` block."""
+    if bnm_cfg is None:
+        return lambda e: 0.1  # torch BatchNorm default momentum
+    k = bnm_cfg.kwargs
+    return lambda e: bn_momentum(
+        e, k.get("bn_momentum", 0.9), k.get("bn_decay", 0.5),
+        k.get("decay_step", 21), k.get("lowest_decay", 0.01),
+    )

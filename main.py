@@ -1,0 +1,112 @@
+"""Entry point: train or test a model from a YAML config.
+
+Reference main.py:11-65; process topology / per-rank batch splitting is
+replaced by jax.distributed + the device mesh (one process per host, not
+per device).
+
+Usage:
+    python main.py --config cfgs/PCN_models/AdaPoinTr.yaml --exp_name run0
+    python main.py --test --config ... --ckpts experiments/.../ckpt-best.ckpt
+    python main.py --config ... --synthetic          # no PCN data needed
+"""
+
+import os
+import random
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    from imgadapointr_tpu.utils.parser import get_args
+
+    args = get_args()
+
+    import jax
+
+    # multi-host: initialize the distributed runtime when launched via a
+    # multi-process coordinator (no-op single host)
+    if "JAX_COORDINATOR_ADDRESS" in os.environ:
+        jax.distributed.initialize()
+
+    from imgadapointr_tpu.utils.config import get_config
+    from imgadapointr_tpu.utils.logger import get_root_logger, print_log
+
+    timestamp = time.strftime("%Y%m%d_%H%M%S", time.localtime())
+    log_file = os.path.join(args.experiment_path, f"{timestamp}.log")
+    logger = get_root_logger(log_file=log_file, name=args.log_name)
+    args.logger = logger
+
+    config = get_config(args, logger=logger)
+    if args.synthetic:
+        _swap_synthetic(config)
+
+    # batch size: reference splits total_bs across ranks (main.py:43-47);
+    # here the mesh data axis splits across devices, loader across hosts
+    config.dataset.train.others.bs = config.total_bs
+    if "val" in config.dataset:
+        config.dataset.val.others.bs = 1
+    if "test" in config.dataset:
+        config.dataset.test.others.bs = 1
+
+    seed = args.seed + jax.process_index()
+    random.seed(seed)
+    np.random.seed(seed)
+
+    print_log(f"devices: {jax.devices()}", logger)
+    print_log(f"config: {config}", logger)
+
+    if args.test:
+        from imgadapointr_tpu.tools.runner import test_net
+
+        test_net(args, config)
+    else:
+        writers = _make_writers(args)
+        from imgadapointr_tpu.tools.runner import run_net
+
+        run_net(args, config, writers)
+
+
+def _make_writers(args):
+    import jax
+
+    if jax.process_index() != 0:
+        return (None, None)
+    try:
+        from tensorboardX import SummaryWriter
+
+        return (
+            SummaryWriter(os.path.join(args.tfboard_path, "train")),
+            SummaryWriter(os.path.join(args.tfboard_path, "test")),
+        )
+    except ImportError:
+        return (None, None)
+
+
+def _swap_synthetic(config):
+    """Point every dataset split at SyntheticPCN, keeping model shapes."""
+    n_points = int(config.model.get("num_points", 16384))
+    for split in ("train", "val", "test"):
+        if split in config.dataset:
+            sub = config.dataset[split]
+            keep_others = dict(sub.get("others", {}))
+            with_img = "Img" in sub.get("NAME", "") or "Img" in config.model.NAME
+            with_cls = "Seg" in sub.get("NAME", "") or "Seg" in config.model.NAME
+            sub.clear()
+            sub.update(
+                {
+                    "NAME": "SyntheticPCN",
+                    "N_POINTS": n_points,
+                    "LENGTH": 64 if split == "train" else 16,
+                    "WITH_IMG": with_img,
+                    "WITH_CLS": with_cls,
+                    "others": keep_others,
+                }
+            )
+
+
+if __name__ == "__main__":
+    main()
