@@ -5,6 +5,7 @@ GRNet, SnowFlakeNet (+ GDANet submodule)."""
 
 from ..utils.registry import MODELS, build_model_from_cfg
 from . import adapointr  # noqa: F401  (registers AdaPoinTr)
+from . import baselines  # noqa: F401  (registers FoldingNet, PCN, TopNet)
 from .adapointr import AdaPoinTrBase, rebuild_factor
 from .losses import adapointr_loss, cycle_alpha, denoise_targets
 from .pctransformer import PCTransformer

@@ -68,7 +68,8 @@ def build_lr_schedule(base_lr: float, sched_cfg, max_epoch: int):
             e, k.lr_decay, k.decay_step, k.lowest_decay, k.get("warmingup_e", 0)
         )
     if t == "StepLR":
-        return lambda e: base_lr * step_lr_factor(e, k.decay_step, k.get("gamma", 0.1))
+        step_size = k.get("step_size", k.get("decay_step", 50))
+        return lambda e: base_lr * step_lr_factor(e, step_size, k.get("gamma", 0.1))
     if t == "CosLR":
         return lambda e: cos_lr_value(
             e, k.get("t_max", max_epoch), base_lr,
