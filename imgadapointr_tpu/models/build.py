@@ -24,6 +24,9 @@ class ModelSpec:
     name: str = ""
     has_batch_stats: bool = True
     needs_noise_rng: bool = True
+    # param-path substrings whose subtrees are frozen (no grads, no decay) —
+    # the reference's requires_grad=False GDANet (tools/runner.py:55-66)
+    frozen_paths: Sequence[str] = field(default_factory=tuple)
 
 
 def build_model_spec(config) -> ModelSpec:

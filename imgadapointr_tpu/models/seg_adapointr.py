@@ -1,0 +1,114 @@
+"""Segmentation-branch AdaPoinTr variants.
+
+- ``SegEncAdaPoinTr`` (reference models/internal/SegEncAdaPoinTr.py:12-130):
+  frozen GDANet part-seg features of the encoder centers cross-attended into
+  the encoder tokens (``seg_before_enc``); plain AdaPoinTr loss.
+- ``ImgEncSegDecAdaPoinTrVariableLoss`` (reference
+  models/internal/ImgEncSegDecAdaPoinTrVariableLoss.py:22-146): image fusion
+  after the encoder + seg fusion on the decoder queries (``seg_before_dec``,
+  train-time applied only to the non-denoise prefix) + variable coarse loss.
+
+GDANet runs frozen: its params are listed in ``ModelSpec.frozen_paths`` so
+the optimizer masks both gradients and weight decay; pretrained weights come
+from ``--gdanet_w`` (see tools/convert_torch.py for the torch converter).
+"""
+
+from __future__ import annotations
+
+from flax import linen as nn
+
+from ..nn.image_encoders import ResNet18Encoder
+from ..ops.normals import estimate_pointcloud_normals
+from ..utils.config import AttrDict
+from ..utils.registry import MODELS
+from .adapointr import AdaPoinTrBase, rebuild_factor
+from .build import ModelSpec
+from .gdanet import GDANet
+from .img_adapointr import variable_alpha
+from .losses import adapointr_loss
+
+
+class SegEncAdaPoinTrModel(nn.Module):
+    """seg_before_enc: GDANet features fused into encoder tokens."""
+
+    config: dict
+
+    @nn.compact
+    def __call__(self, xyz, cls_vec, train: bool = False, bn_momentum=0.1):
+        gdanet = GDANet(50, name="segmentator")
+
+        def seg_fn(coor, cls):
+            # frozen usage: normals (k=30, no direction disambiguation) →
+            # GDANet 128-d feature tap (reference pctransformer.py:176-179)
+            normals = estimate_pointcloud_normals(coor, 30)
+            feat, _ = gdanet(coor, normals, cls, deterministic=True)
+            return feat
+
+        return AdaPoinTrBase(self.config, name="core")(
+            xyz, seg_fn=seg_fn, cls_vec=cls_vec, train=train, bn_momentum=bn_momentum
+        )
+
+
+class ImgEncSegDecAdaPoinTrModel(nn.Module):
+    """img fusion after encoder + seg fusion on decoder queries.
+
+    Stage outputs pass through optimization barriers: with three sub-networks
+    (ResNet, PCTransformer, GDANet) in one graph the XLA TPU fusion search
+    goes superlinear (>9 min compiles); partitioning at the small
+    stage-boundary tensors keeps each region tractable.
+    """
+
+    config: dict
+
+    @nn.compact
+    def __call__(self, xyz, img, cls_vec, train: bool = False, bn_momentum=0.1):
+        import jax
+
+        img_feat = ResNet18Encoder(name="im_encoder")(img, train, bn_momentum)
+        img_feat = jax.lax.optimization_barrier(img_feat)
+        gdanet = GDANet(50, name="segmentator")
+
+        def seg_fn(coor, cls):
+            coor = jax.lax.optimization_barrier(coor)
+            normals = estimate_pointcloud_normals(coor, 30)
+            feat, _ = gdanet(coor, normals, cls, deterministic=True)
+            return jax.lax.optimization_barrier(feat)
+
+        return AdaPoinTrBase(self.config, name="core")(
+            xyz, img_feat=img_feat, seg_fn=seg_fn, cls_vec=cls_vec,
+            train=train, bn_momentum=bn_momentum,
+        )
+
+
+@MODELS.register_module(name="SegEncAdaPoinTr")
+def build_seg_enc(config, **kw):
+    cfg = AttrDict(config)
+    cfg.use_img_features = False
+    cfg.use_seg_features = True
+    cfg.seg_before_enc = True
+    cfg.seg_before_dec = False
+    factor = rebuild_factor(cfg)
+    return ModelSpec(
+        SegEncAdaPoinTrModel(cfg, **kw),
+        lambda ret, gt, epoch: adapointr_loss(ret, gt, factor),
+        ("partial", "cls_vec"),
+        frozen_paths=("segmentator",),
+    )
+
+
+@MODELS.register_module(name="ImgEncSegDecAdaPoinTrVariableLoss")
+def build_img_enc_seg_dec(config, **kw):
+    cfg = AttrDict(config)
+    cfg.use_img_features = True
+    cfg.use_seg_features = True
+    cfg.seg_before_enc = False
+    cfg.seg_before_dec = True
+    factor = rebuild_factor(cfg)
+    return ModelSpec(
+        ImgEncSegDecAdaPoinTrModel(cfg, **kw),
+        lambda ret, gt, epoch: adapointr_loss(
+            ret, gt, factor, coarse_alpha=variable_alpha(epoch)
+        ),
+        ("partial", "img", "cls_vec"),
+        frozen_paths=("segmentator",),
+    )

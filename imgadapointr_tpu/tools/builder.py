@@ -42,7 +42,7 @@ def dataset_builder(args, dataset_cfg, logger=None):
     return dataset, loader
 
 
-def build_opt_sched(config, steps_per_epoch: int, params):
+def build_opt_sched(config, steps_per_epoch: int, params, frozen_paths=()):
     """Build the optax transform + (epoch→lr, epoch→bn momentum) schedules.
 
     The LR schedule steps per optimizer update with epoch = step/steps_per_epoch
@@ -59,7 +59,13 @@ def build_opt_sched(config, steps_per_epoch: int, params):
     def lr_step(step):
         return lr_epoch(step / steps_per_epoch)
 
-    decay_mask = jax.tree.map(lambda p: p.ndim > 1, params)
+    def _frozen(path):
+        s = jax.tree_util.keystr(path)
+        return any(f in s for f in frozen_paths)
+
+    decay_mask = jax.tree_util.tree_map_with_path(
+        lambda path, p: p.ndim > 1 and not _frozen(path), params
+    )
     wd = float(kwargs.get("weight_decay", 0.0))
     if opt_cfg.type == "AdamW":
         tx = optax.adamw(lr_step, weight_decay=wd, mask=decay_mask)
@@ -75,6 +81,13 @@ def build_opt_sched(config, steps_per_epoch: int, params):
 
     grad_clip = float(config.get("grad_norm_clip", 10.0))  # runner.py:207-212
     tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+    if frozen_paths:
+        # zero the final updates on frozen subtrees (grads AND decoupled
+        # decay) — the jax analog of requires_grad=False
+        frozen_mask = jax.tree_util.tree_map_with_path(
+            lambda path, _: _frozen(path), params
+        )
+        tx = optax.chain(tx, optax.masked(optax.set_to_zero(), frozen_mask))
 
     bnm_epoch = build_bnm_schedule(config.get("bnmscheduler", None))
     return tx, lr_step, bnm_epoch

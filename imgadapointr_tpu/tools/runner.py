@@ -66,7 +66,8 @@ class Runner:
 
     def make_train_state(self, state, steps_per_epoch: int):
         tx, lr_sched, bnm_sched = build_opt_sched(
-            self.config, steps_per_epoch, state["params"]
+            self.config, steps_per_epoch, state["params"],
+            frozen_paths=tuple(self.spec.frozen_paths),
         )
         self.tx = tx
         self.lr_sched = lr_sched

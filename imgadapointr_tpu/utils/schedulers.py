@@ -62,6 +62,19 @@ def gradual_warmup_factor(epoch, multiplier, total_epoch):
 def build_lr_schedule(base_lr: float, sched_cfg, max_epoch: int):
     """Return ``f(epoch) -> lr`` from a config ``scheduler`` block."""
     t = sched_cfg.type
+    if t == "GradualWarmup" and "kwargs_1" in sched_cfg:
+        # reference SnowFlakeNet.yaml format: kwargs_1 = StepLR-after,
+        # kwargs_2 = warmup (tools/builder.py:64-75)
+        k1, k2 = sched_cfg.kwargs_1, sched_cfg.kwargs_2
+        step_size = k1.get("step_size", 50)
+        gamma = k1.get("gamma", 0.5)
+        mult = k2.get("multiplier", 1.0)
+        total = k2.get("total_epoch", 1)
+        return lambda e: (
+            base_lr
+            * step_lr_factor(e, step_size, gamma)
+            * gradual_warmup_factor(e, mult, total)
+        )
     k = sched_cfg.kwargs
     if t == "LambdaLR":
         return lambda e: base_lr * lambda_lr_factor(
