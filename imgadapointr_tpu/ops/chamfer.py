@@ -46,7 +46,22 @@ def _pad_to_multiple(y: jax.Array, tile: int) -> tuple[jax.Array, int]:
 def _nn_one_direction(
     x: jax.Array, y: jax.Array, w2: jax.Array | None, tile: int
 ) -> tuple[jax.Array, jax.Array]:
-    """For each x, squared distance + index of nearest valid y. Tiled over M."""
+    """For each x, squared distance + index of nearest valid y. Tiled over M.
+
+    TPU: Pallas diff-form kernel (VPU speed-of-light for K=3 distances, and
+    opaque to the XLA fusion search that otherwise blows up compile times).
+    Masked (w2) inputs fall back to the XLA scan path.
+    """
+    # size-gated: each distinct-shape pallas_call is a separate remote
+    # Mosaic compile; small chamfers stay on the XLA scan path
+    if (
+        jax.default_backend() == "tpu"
+        and w2 is None
+        and x.shape[1] * y.shape[1] >= 1 << 22
+    ):
+        from .pallas.nn_distance import nn_one_direction_pallas
+
+        return nn_one_direction_pallas(x, y)
     y, m_true = _pad_to_multiple(y, tile)
     B, N, _ = x.shape
     M = y.shape[1]

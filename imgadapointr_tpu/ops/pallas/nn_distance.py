@@ -1,0 +1,169 @@
+"""Pallas tiled nearest-neighbour kernels: chamfer min-distance and kNN.
+
+Replaces the XLA formulation for the two hot geometry ops:
+
+- The XLA chamfer path computes ``|x|²-2x·y+|y|²`` via a K=3 matmul — 2%
+  MXU lane utilisation at fp32 (HIGHEST) — and streams (B, N, tile) blocks
+  through HBM. Here distances are computed in diff-form on the VPU entirely
+  in VMEM; only (dist, argmin) leave the kernel.
+- The XLA kNN materialises the (B, N, M) matrix in HBM and runs a
+  sort-based ``top_k`` (~57ms at 32×2048²). Here the distance tile stays in
+  VMEM and k neighbours are peeled with k min-extraction passes.
+
+Grid is over batch only; point tiles are looped inside the kernel with
+lane-aligned dynamic stores (per-tile grid programs would force output
+blocks that violate Mosaic's (8, 128) divisibility rule).
+
+Numerics: diff-form fp32 — strictly better than the cancellation-prone
+matmul form (no bf16 issue at all).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = 3.0e38  # python float: jnp constants would be captured tracers
+
+
+def _dist_tile(xx, xy, xz, yx, yy, yz):
+    """(TN,1) coords vs (1,TM) coords → (TN,TM) squared distances."""
+    dx = xx - yx
+    dy = xy - yy
+    dz = xz - yz
+    return dx * dx + dy * dy + dz * dz
+
+
+def _nn_kernel(x_ref, y_ref, dist_ref, idx_ref, tm: int, n_valid_y: int):
+    # x_ref: (TN, 8); y_ref: (8, Mp); dist_ref/idx_ref: (TN//128, 128)
+    tn = x_ref.shape[0]
+    Mp = y_ref.shape[1]
+    m_chunks = Mp // tm
+    xx = x_ref[:, 0:1]
+    xy = x_ref[:, 1:2]
+    xz = x_ref[:, 2:3]
+
+    def chunk(ci, carry):
+        best_d, best_i = carry
+        ms = pl.ds(pl.multiple_of(ci * tm, tm), tm)
+        d = _dist_tile(xx, xy, xz, y_ref[0:1, ms], y_ref[1:2, ms], y_ref[2:3, ms])
+        col = jax.lax.broadcasted_iota(jnp.int32, (tn, tm), 1) + ci * tm
+        d = jnp.where(col < n_valid_y, d, _BIG)
+        dmin = jnp.min(d, axis=1, keepdims=True)
+        amin = jnp.min(jnp.where(d == dmin, col, Mp), axis=1, keepdims=True)
+        upd = dmin < best_d
+        return jnp.where(upd, dmin, best_d), jnp.where(upd, amin, best_i)
+
+    init = (jnp.full((tn, 1), _BIG), jnp.zeros((tn, 1), jnp.int32))
+    best_d, best_i = jax.lax.fori_loop(0, m_chunks, chunk, init)
+    # outputs laid out (TN//128, 128); row-major == flat (TN,)
+    dist_ref[...] = best_d.reshape(tn // 128, 128)
+    idx_ref[...] = best_i.reshape(tn // 128, 128)
+
+
+def nn_one_direction_pallas(
+    x: jax.Array, y: jax.Array, tile_n: int = 1024, tile_m: int = 1024
+):
+    """For each x, (squared distance, index) of the nearest y. TPU Pallas."""
+    B, N, _ = x.shape
+    M = y.shape[1]
+    TN = min(tile_n, max(1024, N))
+    pad_n = (-N) % TN
+    Npad = N + pad_n
+    pad_m128 = (-M) % 128
+    TM = min(tile_m, M + pad_m128)
+    pad_m = (-M) % TM
+    Mp = M + pad_m
+
+    xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, pad_n), (0, 5)))
+    yt = jnp.transpose(y.astype(jnp.float32), (0, 2, 1))
+    yt = jnp.pad(yt, ((0, 0), (0, 5), (0, pad_m)), constant_values=1e9)
+
+    rows = TN // 128
+    dist, idx = pl.pallas_call(
+        functools.partial(_nn_kernel, tm=TM, n_valid_y=M),
+        grid=(B, Npad // TN),
+        in_specs=[
+            pl.BlockSpec((None, TN, 8), lambda b, n: (b, n, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 8, Mp), lambda b, n: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((None, rows, 128), lambda b, n: (b, n, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, rows, 128), lambda b, n: (b, n, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Npad // 128, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, Npad // 128, 128), jnp.int32),
+        ),
+    )(xp, yt)
+    return dist.reshape(B, Npad)[:, :N], idx.reshape(B, Npad)[:, :N]
+
+
+def _knn_kernel(q_ref, r_ref, idx_ref, dist_ref, ts: int, k: int, n_valid_r: int):
+    # q_ref: (Sp, 8); r_ref: (8, Mp); outputs (Sp, kpad)
+    Sp = q_ref.shape[0]
+    Mp = r_ref.shape[1]
+    kpad = idx_ref.shape[1]
+    s_tiles = Sp // ts
+
+    def stile(st, _):
+        sl = pl.ds(pl.multiple_of(st * ts, ts), ts)
+        d = _dist_tile(
+            q_ref[sl, 0:1], q_ref[sl, 1:2], q_ref[sl, 2:3],
+            r_ref[0:1, :], r_ref[1:2, :], r_ref[2:3, :],
+        )  # (ts, Mp)
+        col = jax.lax.broadcasted_iota(jnp.int32, (ts, Mp), 1)
+        d = jnp.where(col < n_valid_r, d, _BIG)
+        # peel the k nearest (k is small: 3-32); static column stores
+        for j in range(k):
+            dmin = jnp.min(d, axis=1, keepdims=True)
+            amin = jnp.min(jnp.where(d == dmin, col, Mp), axis=1, keepdims=True)
+            idx_ref[sl, j : j + 1] = amin
+            dist_ref[sl, j : j + 1] = dmin
+            d = jnp.where(col == amin, _BIG, d)
+        return 0
+
+    jax.lax.fori_loop(0, s_tiles, stile, 0)
+
+
+def knn_pallas(k: int, xyz: jax.Array, new_xyz: jax.Array):
+    """(sqdist, idx) of the k nearest ``xyz`` per ``new_xyz`` query.
+
+    Ascending order, first-index tie-break (matches the XLA top_k path).
+    """
+    B, M, _ = xyz.shape
+    S = new_xyz.shape[1]
+    pad_m128 = (-M) % 128
+    Mp0 = M + pad_m128
+    # (TS, Mp) distance tile within ~6MB of VMEM
+    TS = max(8, min(512, (6 * 1024 * 1024) // (4 * Mp0)))
+    TS = (TS // 8) * 8
+    pad_s = (-S) % TS
+    Sp = S + pad_s
+    kpad = k + ((-k) % 128)
+
+    qp = jnp.pad(new_xyz.astype(jnp.float32), ((0, 0), (0, pad_s), (0, 5)))
+    rt = jnp.transpose(xyz.astype(jnp.float32), (0, 2, 1))
+    rt = jnp.pad(rt, ((0, 0), (0, 5), (0, pad_m128)), constant_values=1e9)
+
+    idx, dist = pl.pallas_call(
+        functools.partial(_knn_kernel, ts=TS, k=k, n_valid_r=M),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((None, Sp, 8), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 8, Mp0), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((None, Sp, kpad), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, Sp, kpad), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Sp, kpad), jnp.int32),
+            jax.ShapeDtypeStruct((B, Sp, kpad), jnp.float32),
+        ),
+    )(qp, rt)
+    return dist[:, :S, :k], idx[:, :S, :k]

@@ -58,16 +58,28 @@ def knn_point(nsample: int, xyz: jax.Array, new_xyz: jax.Array) -> jax.Array:
     (``topk(largest=False)`` over the dense distance matrix). Ascending
     distance order (the reference uses ``sorted=False``; downstream consumers
     are order-invariant gathers/maxpools).
+
+    On TPU dispatches to the Pallas kernel (VMEM-resident distance tiles,
+    ~3× faster than materialising (B, S, N) + sort-based top_k).
     """
-    sqrdists = square_distance(new_xyz, xyz)
-    _, idx = jax.lax.top_k(-sqrdists, nsample)
-    return idx.astype(jnp.int32)
+    return knn_with_distance(nsample, xyz, new_xyz)[1]
 
 
 def knn_with_distance(
     nsample: int, xyz: jax.Array, new_xyz: jax.Array
 ) -> tuple[jax.Array, jax.Array]:
     """Like :func:`knn_point` but also returns the squared distances."""
+    # Pallas only where it beats XLA AND the Mosaic compile is worth it:
+    # each distinct-shape pallas_call costs a separate (slow) remote kernel
+    # compile, so small problems stay on the XLA path.
+    if (
+        jax.default_backend() == "tpu"
+        and nsample <= 64
+        and xyz.shape[1] * new_xyz.shape[1] >= 1 << 20
+    ):
+        from .pallas.nn_distance import knn_pallas
+
+        return knn_pallas(nsample, xyz, new_xyz)
     sqrdists = square_distance(new_xyz, xyz)
     neg, idx = jax.lax.top_k(-sqrdists, nsample)
     return -neg, idx.astype(jnp.int32)
@@ -146,12 +158,21 @@ def furthest_point_sample(xyz: jax.Array, npoint: int) -> jax.Array:
     matching the pointnet2 CUDA kernel semantics used by the reference
     (utils/misc.py:32-40, models/base_blocks.py:547-563).
 
+    On TPU dispatches to the Pallas kernel (VMEM-resident cache, ~3× faster);
+    the XLA fori_loop below is the reference implementation and the
+    CPU/interpret path.
+
     Args:
         xyz: (B, N, 3).
         npoint: static number of samples.
     Returns:
         (B, npoint) int32 indices.
     """
+    # size-gated like knn: small FPS calls compile+run fine on XLA
+    if jax.default_backend() == "tpu" and xyz.shape[1] * npoint >= 1 << 18:
+        from .pallas.fps import furthest_point_sample_pallas
+
+        return furthest_point_sample_pallas(xyz, npoint)
     B, N, _ = xyz.shape
     xyz = xyz.astype(jnp.float32)
     xsq = jnp.sum(xyz * xyz, axis=-1)  # (B, N), reused every iteration
