@@ -19,8 +19,21 @@ from .chamfer import (
     chamfer_l2_split,
     chamfer_l1_pm,
 )
-from .sampling import jitter_points, random_sample, random_scale, random_dropping
+from .sampling import (
+    jitter_points,
+    random_sample,
+    random_scale,
+    random_dropping,
+    separate_point_cloud,
+)
 from .emd import emd_auction, emd_distance_metric
+from .normals import estimate_pointcloud_normals
+from .gridding import (
+    cubic_feature_sampling,
+    gridding,
+    gridding_loss,
+    gridding_reverse,
+)
 
 __all__ = [
     "square_distance",

@@ -50,6 +50,44 @@ def random_scale(
     return partial * scale, gt * scale
 
 
+def separate_point_cloud(
+    xyz: jax.Array,
+    num_crop: int,
+    fixed_point: jax.Array | None = None,
+    key: jax.Array | None = None,
+    padding_zeros: bool = False,
+):
+    """ShapeNet-55 crop protocol: split each cloud into (input, crop) by
+    distance to a view direction.
+
+    Reference utils/misc.py:153-213 (``seprate_point_cloud``): the
+    ``num_crop`` points closest to a unit direction (random, or one of the
+    8 fixed corner viewpoints at test time, tools/runner.py:627-653) become
+    the crop; the rest (or a zero-masked copy with ``padding_zeros``) is the
+    partial input. Fixed-shape: ``num_crop`` is static.
+
+    Returns (input_data, crop_data): (B, N-num_crop, 3)/(B, num_crop, 3), or
+    (B, N, 3) zero-masked input when ``padding_zeros``.
+    """
+    B, N, _ = xyz.shape
+    if fixed_point is None:
+        assert key is not None
+        center = jax.random.normal(key, (B, 1, 3))
+    else:
+        center = jnp.broadcast_to(jnp.asarray(fixed_point).reshape(1, 1, 3), (B, 1, 3))
+    center = center / jnp.linalg.norm(center, axis=-1, keepdims=True)
+    dist = jnp.linalg.norm(center - xyz, axis=-1)  # (B, N)
+    order = jnp.argsort(dist, axis=-1)  # ascending: nearest to view first
+    sorted_pts = index_points(xyz, order.astype(jnp.int32))
+    crop_data = sorted_pts[:, :num_crop]
+    if padding_zeros:
+        mask = (jnp.arange(N) >= num_crop)[None, :, None]
+        input_data = sorted_pts * mask
+    else:
+        input_data = sorted_pts[:, num_crop:]
+    return input_data, crop_data
+
+
 def random_dropping(key: jax.Array, pc: jax.Array, e: int) -> jax.Array:
     """KITTI-style random point dropping with zero-pad back to fixed shape.
 

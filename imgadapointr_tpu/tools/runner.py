@@ -200,6 +200,8 @@ def run_net(args, config, writers=None):
     # init from one example batch
     _, _, example = next(iter(train_loader))
     state = runner.init_state(example, seed=getattr(args, "seed", 0))
+    if getattr(args, "gdanet_w", None):
+        state = _load_gdanet(state, args.gdanet_w, logger)
     start_epoch = 0
     best_metrics = None
 
@@ -273,6 +275,38 @@ def run_net(args, config, writers=None):
         train_writer.close()
     if val_writer:
         val_writer.close()
+    return state
+
+
+def _load_gdanet(state, path, logger):
+    """Graft converted pretrained GDANet weights into the frozen subtree
+    (reference tools/runner.py:55-66 loads --gdanet_w with strict=False)."""
+    from .convert_torch import load_gdanet_weights
+
+    gp, gs = load_gdanet_weights(path)
+
+    def graft(tree, sub):
+        out = dict(tree)
+        for k, v in tree.items():
+            if k == "segmentator":
+                merged = dict(v)
+                for name, leaf in sub.items():
+                    if name in merged:
+                        merged[name] = jax.tree.map(
+                            lambda old, new: jnp.asarray(new, old.dtype).reshape(old.shape)
+                            if hasattr(old, "shape") else new,
+                            merged[name],
+                            leaf,
+                        )
+                out[k] = merged
+            elif isinstance(v, dict):
+                out[k] = graft(v, sub)
+        return out
+
+    state = dict(state)
+    state["params"] = graft(state["params"], gp)
+    state["batch_stats"] = graft(state["batch_stats"], gs)
+    print_log(f"Loaded frozen GDANet weights from {path}", logger)
     return state
 
 
@@ -352,7 +386,22 @@ def test_net(args, config):
     return test(runner, state, test_loader, args, config, logger)
 
 
+# ShapeNet-55 protocol crop ratios (reference tools/runner.py:453-457)
+CROP_RATIO = {"easy": 1 / 4, "median": 1 / 2, "hard": 3 / 4}
+# the 8 fixed corner viewpoints (reference tools/runner.py:628-630)
+SHAPENET55_VIEWPOINTS = [
+    (1, 1, 1), (1, 1, -1), (1, -1, 1), (-1, 1, 1),
+    (-1, -1, 1), (-1, 1, -1), (1, -1, -1), (-1, -1, -1),
+]
+
+
 def test(runner, state, test_loader, args, config, logger=None):
+    dataset_name = config.dataset.test.get("NAME", "")
+    if "ShapeNet" in dataset_name and "PCN" not in dataset_name:
+        return _test_shapenet55(runner, state, test_loader, args, config, logger)
+    if dataset_name == "KITTI":
+        return _test_kitti(runner, state, test_loader, args, config, logger)
+
     require_emd = bool(getattr(args, "emd", True))
     test_losses = AverageMeter(
         ["SparseLossL1", "SparseLossL2", "DenseLossL1", "DenseLossL2"]
@@ -393,6 +442,78 @@ def test(runner, state, test_loader, args, config, logger=None):
         print_log(row, logger)
     print_log("Overall\t\t" + "\t".join("%.4f" % v for v in overall), logger)
     return dict(zip(METRIC_NAMES, overall))
+
+
+def _test_shapenet55(runner, state, test_loader, args, config, logger=None):
+    """ShapeNet-55/34 protocol: 8 fixed-viewpoint crops per gt cloud, FPS to
+    2048, complete, CD against the full gt (reference tools/runner.py:627-653)."""
+    from ..ops import fps, separate_point_cloud
+
+    npoints = int(config.dataset.test.get("N_POINTS", 8192))
+    mode = getattr(args, "mode", None) or "median"
+    num_crop = int(npoints * CROP_RATIO[mode])
+    test_losses = AverageMeter(
+        ["SparseLossL1", "SparseLossL2", "DenseLossL1", "DenseLossL2"]
+    )
+    category_metrics: dict[str, AverageMeter] = {}
+
+    @jax.jit
+    def crop_and_eval(params, batch_stats, gt, viewpoint):
+        partial, _ = separate_point_cloud(gt, num_crop, fixed_point=viewpoint)
+        partial = fps(partial, 2048)
+        m, _ = runner._eval_step(params, batch_stats, {"partial": partial, "gt": gt})
+        return m
+
+    for idx, (taxonomy_ids, model_ids, batch) in enumerate(test_loader):
+        gt = jnp.asarray(batch["gt"][:, :npoints])
+        for vp in SHAPENET55_VIEWPOINTS:
+            m = jax.device_get(
+                crop_and_eval(
+                    state["params"], state["batch_stats"], gt,
+                    jnp.asarray(vp, jnp.float32),
+                )
+            )
+            test_losses.update(
+                [float(m["sparse_l1"]), float(m["sparse_l2"]),
+                 float(m["dense_l1"]), float(m["dense_l2"])]
+            )
+            vals = [float(m["f_score"]), float(m["dense_l1"]), float(m["dense_l2"]), 0.0]
+            tax = taxonomy_ids[0]
+            category_metrics.setdefault(tax, AverageMeter(METRIC_NAMES)).update(vals)
+
+    per_cat = np.array([am.avg() for am in category_metrics.values()])
+    overall = per_cat.mean(axis=0) if len(per_cat) else np.zeros(len(METRIC_NAMES))
+    print_log(
+        f"[ShapeNet-55 {mode}] Overall: "
+        + " ".join(f"{n}={v:.4f}" for n, v in zip(METRIC_NAMES, overall)),
+        logger,
+    )
+    return dict(zip(METRIC_NAMES, overall))
+
+
+def _test_kitti(runner, state, test_loader, args, config, logger=None):
+    """KITTI protocol: no gt metrics; dump completion visualisations
+    (reference tools/runner.py:655-665)."""
+    target_path = os.path.join(args.experiment_path, "vis_result")
+    os.makedirs(target_path, exist_ok=True)
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    for idx, (taxonomy_ids, model_ids, batch) in enumerate(test_loader):
+        _, (coarse, dense) = runner.eval_step(state, batch)
+        partial = np.asarray(batch["partial"][0])
+        dense = np.asarray(dense[0])
+        fig, axes = plt.subplots(1, 2, figsize=(8, 4), subplot_kw={"projection": "3d"})
+        for ax, cloud, name in zip(axes, (partial, dense), ("input", "prediction")):
+            ax.scatter(cloud[:, 0], cloud[:, 1], cloud[:, 2], s=0.4)
+            ax.set_title(name)
+            ax.set_axis_off()
+        fig.savefig(os.path.join(target_path, f"{model_ids[0]}_{idx:03d}.jpg"), dpi=100)
+        plt.close(fig)
+    print_log(f"[KITTI] visualisations saved to {target_path}", logger)
+    return {}
 
 
 def _load_shapenet_dict():

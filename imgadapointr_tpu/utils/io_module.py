@@ -14,9 +14,17 @@ import numpy as np
 
 
 class IO:
+    use_native = True  # native/pcio.cpp fast path when built
+
     @classmethod
     def get(cls, file_path: str) -> np.ndarray:
         ext = os.path.splitext(file_path)[-1].lower()
+        if cls.use_native and ext in (".pcd", ".ply", ".npy"):
+            from ..datasets.native_io import read_cloud
+
+            arr = read_cloud(file_path)
+            if arr is not None:
+                return arr
         if ext in (".npy",):
             return cls._read_npy(file_path)
         if ext in (".npz",):
