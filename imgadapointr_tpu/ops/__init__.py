@@ -1,6 +1,7 @@
 """TPU-native geometry op library (pure functions, static shapes, custom VJPs)."""
 
 from .pointops import (
+    ball_query,
     square_distance,
     knn_point,
     knn_with_distance,

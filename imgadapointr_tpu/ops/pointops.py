@@ -202,6 +202,26 @@ def furthest_point_sample(xyz: jax.Array, npoint: int) -> jax.Array:
     return idxs
 
 
+def ball_query(
+    radius: float, nsample: int, xyz: jax.Array, new_xyz: jax.Array
+) -> jax.Array:
+    """Indices of up to ``nsample`` points within ``radius`` of each query.
+
+    pointnet2 ``ball_query`` semantics (listed in SURVEY §2.1): the first
+    in-radius point fills the slots of queries with fewer than ``nsample``
+    neighbours; queries with none fall back to their nearest point.
+    Returns (B, S, nsample) int32.
+    """
+    sqd = square_distance(new_xyz, xyz)
+    in_ball = sqd <= radius * radius
+    # order by distance, then mask: take the nsample nearest in-ball points
+    d_masked = jnp.where(in_ball, sqd, jnp.inf)
+    _, idx = jax.lax.top_k(-d_masked, nsample)  # ascending distance
+    valid = jnp.take_along_axis(in_ball, idx, axis=-1)
+    first = idx[..., :1]
+    return jnp.where(valid, idx, first).astype(jnp.int32)
+
+
 def fps(data: jax.Array, number: int) -> jax.Array:
     """FPS returning the sampled coordinates (reference utils/misc.py:32-40)."""
     idx = furthest_point_sample(jax.lax.stop_gradient(data), number)

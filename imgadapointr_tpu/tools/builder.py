@@ -81,6 +81,10 @@ def build_opt_sched(config, steps_per_epoch: int, params, frozen_paths=()):
 
     grad_clip = float(config.get("grad_norm_clip", 10.0))  # runner.py:207-212
     tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+    # gradient accumulation (reference step_per_update, runner.py:207-215)
+    k = int(config.get("step_per_update", 1))
+    if k > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=k)
     if frozen_paths:
         # zero the final updates on frozen subtrees (grads AND decoupled
         # decay) — the jax analog of requires_grad=False

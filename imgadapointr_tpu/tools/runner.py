@@ -221,6 +221,9 @@ def run_net(args, config, writers=None):
     max_epoch = int(config.max_epoch)
     rng = jax.random.PRNGKey(getattr(args, "seed", 0))
 
+    wandb_run = _maybe_wandb(args, config)
+    profile_window = (1, 6) if getattr(args, "profile", False) else None
+
     for epoch in range(start_epoch, max_epoch):
         train_loader.set_epoch(epoch)
         losses = AverageMeter(["SparseLoss", "DenseLoss"])
@@ -230,6 +233,14 @@ def run_net(args, config, writers=None):
 
         t0 = time.time()
         for idx, (_, _, batch) in enumerate(train_loader):
+            # jax.profiler trace of a few warm steps (--profile; the tracing
+            # story the reference lacks, SURVEY §5)
+            if profile_window and epoch == start_epoch:
+                if idx == profile_window[0]:
+                    jax.profiler.start_trace(args.tfboard_path)
+                elif idx == profile_window[1]:
+                    jax.profiler.stop_trace()
+                    print_log(f"profiler trace written to {args.tfboard_path}", logger)
             rng, sub = jax.random.split(rng)
             epoch_f = epoch + idx / steps_per_epoch
             state, metrics = runner.train_step(state, batch, sub, epoch_f)
@@ -261,9 +272,15 @@ def run_net(args, config, writers=None):
         if train_writer:
             train_writer.add_scalar("Loss/Epoch/Sparse", losses.avg(0), epoch)
             train_writer.add_scalar("Loss/Epoch/Dense", losses.avg(1), epoch)
+        if wandb_run:
+            wandb_run.log(
+                {"epoch": epoch, "train/sparse": losses.avg(0), "train/dense": losses.avg(1)}
+            )
 
         if epoch % int(getattr(args, "val_freq", 1)) == 0:
             metrics = validate(runner, state, val_loader, epoch, val_writer, args, config, logger)
+            if wandb_run:
+                wandb_run.log({"epoch": epoch, **{f"val/{k}": v for k, v in metrics.state_dict().items()}})
             if metrics.better_than(best_metrics):
                 best_metrics = metrics
                 _save(runner, state, "ckpt-best", epoch, metrics, best_metrics, args, logger)
@@ -276,6 +293,22 @@ def run_net(args, config, writers=None):
     if val_writer:
         val_writer.close()
     return state
+
+
+def _maybe_wandb(args, config):
+    """Optional wandb logging (reference --wandb, tools/runner.py:122-126 —
+    which re-inits per epoch; here one run per training)."""
+    if not getattr(args, "wandb", False) or jax.process_index() != 0:
+        return None
+    try:
+        import wandb
+    except ImportError:
+        print_log("wandb requested but not installed; skipping", getattr(args, "logger", None))
+        return None
+    return wandb.init(
+        project="imgadapointr_tpu", name=getattr(args, "exp_name", "run"),
+        config=dict(config),
+    )
 
 
 def _load_gdanet(state, path, logger):

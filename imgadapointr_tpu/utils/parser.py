@@ -31,6 +31,8 @@ def get_args(argv=None):
     parser.add_argument("--tp", type=int, default=1, help="tensor-parallel width")
     parser.add_argument("--synthetic", action="store_true", help="use SyntheticPCN data")
     parser.add_argument("--no_emd", dest="emd", action="store_false", default=True)
+    parser.add_argument("--profile", action="store_true",
+                        help="write a jax.profiler trace of a few train steps")
     args = parser.parse_args(argv)
 
     if args.test and args.resume:
