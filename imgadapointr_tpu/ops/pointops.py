@@ -68,7 +68,16 @@ def knn_point(nsample: int, xyz: jax.Array, new_xyz: jax.Array) -> jax.Array:
 def knn_with_distance(
     nsample: int, xyz: jax.Array, new_xyz: jax.Array
 ) -> tuple[jax.Array, jax.Array]:
-    """Like :func:`knn_point` but also returns the squared distances."""
+    """Like :func:`knn_point` but also returns the squared distances.
+
+    Non-differentiable, matching pointnet2: the reference's kNN/three_nn CUDA
+    Functions return no input gradients (three_nn backward is undefined;
+    interpolation weights are constants to autograd), so neither path here
+    propagates tangents. This also lets the Pallas kernel (no JVP rule) sit
+    inside differentiated graphs.
+    """
+    xyz = jax.lax.stop_gradient(xyz)
+    new_xyz = jax.lax.stop_gradient(new_xyz)
     # Pallas only where it beats XLA AND the Mosaic compile is worth it:
     # each distinct-shape pallas_call costs a separate (slow) remote kernel
     # compile, so small problems stay on the XLA path.
@@ -168,6 +177,7 @@ def furthest_point_sample(xyz: jax.Array, npoint: int) -> jax.Array:
     Returns:
         (B, npoint) int32 indices.
     """
+    xyz = jax.lax.stop_gradient(xyz)  # FPS indices are discrete (pointnet2)
     # size-gated like knn: small FPS calls compile+run fine on XLA
     if jax.default_backend() == "tpu" and xyz.shape[1] * npoint >= 1 << 18:
         from .pallas.fps import furthest_point_sample_pallas

@@ -100,7 +100,7 @@ def _swap_synthetic(config):
                 {
                     "NAME": "SyntheticPCN",
                     "N_POINTS": n_points,
-                    "LENGTH": 64 if split == "train" else 16,
+                    "LENGTH": int(os.environ.get("SYN_TRAIN_LEN", 64)) if split == "train" else 16,
                     "WITH_IMG": with_img,
                     "WITH_CLS": with_cls,
                     "others": keep_others,

@@ -100,11 +100,16 @@ def test_loss_and_grad(model_and_vars):
 
     flat = jax.tree_util.tree_leaves_with_path(gr)
     zero = {jax.tree_util.keystr(p) for p, v in flat if bool(jnp.all(v == 0))}
-    # query_ranking is argsort-selected → legitimately gradient-free
-    # (the reference trains with find_unused_parameters=True for this reason,
-    # tools/runner.py:89-92)
-    assert all("query_ranking" in z for z in zero), zero
-    assert len(zero) == 6
+    # Legitimately gradient-free params, faithful to the reference (which
+    # needs find_unused_parameters=True for exactly these,
+    # tools/runner.py:89-92):
+    # - query_ranking feeds an argsort (AdaPoinTr.py:119-121)
+    # - deformable offset nets (linear_offset, proj_v_off) only reach the
+    #   loss through pointnet2 three_nn, whose CUDA Function is marked
+    #   non-differentiable — interpolation weights are constants to autograd
+    allowed = ("query_ranking", "linear_offset", "proj_v_off")
+    assert all(any(a in z for a in allowed) for z in zero), zero
+    assert sum("query_ranking" in z for z in zero) == 6
 
 
 def test_variable_loss_alpha_schedule():
