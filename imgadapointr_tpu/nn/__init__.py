@@ -32,3 +32,5 @@ from .blocks import (
 )
 from .grouper import DGCNNGrouper, PCNEncoder, SimpleEncoder
 from .heads import Fold, SimpleRebuildFCLayer, folding_seed
+from . import legacy_blocks
+from .image_encoders import ConvNextEncoder, ResNet18Encoder, ResNet50Encoder
