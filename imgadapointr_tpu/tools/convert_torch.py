@@ -113,6 +113,198 @@ def convert_gdanet(torch_state: Dict[str, np.ndarray]) -> dict:
     return {"params": params, "batch_stats": stats, "missing": missing}
 
 
+def _put(tree, path, val):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = np.asarray(val)
+
+
+def convert_adapointr(torch_state: Dict[str, np.ndarray], config) -> dict:
+    """Reference AdaPoinTr-family checkpoint → AdaPoinTrBase params/stats.
+
+    Handles the point-only tree (models/external/AdaPoinTr.py): grouper,
+    encoder/decoder block stacks (attn / graph / deform style tokens,
+    'concat' combine), query machinery, and the fc rebuild head. Fused
+    Linears over concats row-split into ConcatDense parts. Image/seg fusion
+    subtrees convert via the same rules when present.
+
+    Returns {"params", "batch_stats", "missing"}.
+    """
+    sd = torch_state
+    params: dict = {}
+    stats: dict = {}
+    missing: list = []
+    mapping: list = []  # (torch_key, transform, flax_path(s)) for round-trip tests
+
+    def grab(key):
+        if key not in sd:
+            missing.append(key)
+            return None
+        return sd[key]
+
+    def linear(tkey, fpath, bias=True):
+        mapping.append((f"{tkey}.weight", "linear", fpath + ("kernel",)))
+        w = grab(f"{tkey}.weight")
+        if w is not None:
+            _put(params, fpath + ("kernel",), t(w) if np.asarray(w).ndim == 2 else conv1x1(w))
+        if bias:
+            mapping.append((f"{tkey}.bias", "direct", fpath + ("bias",)))
+            b = grab(f"{tkey}.bias")
+            if b is not None:
+                _put(params, fpath + ("bias",), b)
+
+    def norm(tkey, fpath):
+        mapping.append((f"{tkey}.weight", "direct", fpath + ("scale",)))
+        mapping.append((f"{tkey}.bias", "direct", fpath + ("bias",)))
+        w, b = grab(f"{tkey}.weight"), grab(f"{tkey}.bias")
+        if w is not None:
+            _put(params, fpath + ("scale",), w)
+        if b is not None:
+            _put(params, fpath + ("bias",), b)
+
+    def bn(tkey, fpath):
+        norm(tkey, fpath)
+        mapping.append((f"{tkey}.running_mean", "direct:stats", fpath + ("mean",)))
+        mapping.append((f"{tkey}.running_var", "direct:stats", fpath + ("var",)))
+        m, v = grab(f"{tkey}.running_mean"), grab(f"{tkey}.running_var")
+        if m is not None:
+            _put(stats, fpath + ("mean",), m)
+        if v is not None:
+            _put(stats, fpath + ("var",), v)
+
+    def concat_dense(tkey, fpath, widths, bias=True):
+        mapping.append(
+            (f"{tkey}.weight", f"split:{','.join(map(str, widths))}",
+             tuple(fpath + (f"part{i}", "kernel") for i in range(len(widths))))
+        )
+        w = grab(f"{tkey}.weight")
+        if w is not None:
+            parts = split_rows(t(np.asarray(w)), widths)
+            for i, part in enumerate(parts):
+                _put(params, fpath + (f"part{i}", "kernel"), part)
+        if bias:
+            mapping.append((f"{tkey}.bias", "direct", fpath + ("part0", "bias")))
+            b = grab(f"{tkey}.bias")
+            if b is not None:
+                _put(params, fpath + ("part0", "bias"), b)
+
+    bm = ("base_model",)
+    dim = int(config.encoder_config.embed_dim)
+    gfd = int(config.global_feature_dim)
+
+    # ---- grouper (DGCNN) ----
+    linear("base_model.grouper.input_trans", bm + ("grouper", "input_trans"))
+    for i in range(1, 5):
+        linear(f"base_model.grouper.layer{i}.0", bm + ("grouper", f"layer{i}_conv"), bias=False)
+        norm(f"base_model.grouper.layer{i}.1", bm + ("grouper", f"layer{i}_gn"))
+
+    # ---- embeds / projections / query machinery ----
+    for tk, names in (
+        ("base_model.pos_embed", ("pos_embed1", "pos_embed2")),
+        ("base_model.input_proj", ("input_proj1", "input_proj2")),
+        ("base_model.increase_dim", ("increase_dim1", "increase_dim2")),
+        ("base_model.coarse_pred", ("coarse_pred1", "coarse_pred2")),
+    ):
+        linear(f"{tk}.0", bm + (names[0],))
+        linear(f"{tk}.2", bm + (names[1],))
+    # mlp_query.0 is Linear(global+3, 1024) over cat([global, coarse])
+    concat_dense("base_model.mlp_query.0", bm + ("mlp_query1",), [gfd, 3])
+    linear("base_model.mlp_query.2", bm + ("mlp_query2",))
+    linear("base_model.mlp_query.4", bm + ("mlp_query3",))
+    for i, n in ((0, "query_ranking1"), (2, "query_ranking2"), (4, "query_ranking3")):
+        linear(f"base_model.query_ranking.{i}", bm + (n,))
+
+    # ---- transformer blocks ----
+    qkv_bias = bool(config.encoder_config.get("qkv_bias", True))
+
+    def attn_block(tprefix, fprefix, styles, is_decoder):
+        def attention(tk, fp):
+            linear(f"{tk}.qkv", fp + ("qkv",), bias=qkv_bias)
+            linear(f"{tk}.proj", fp + ("proj",))
+
+        def cross_attention(tk, fp):
+            for m in ("q_map", "k_map", "v_map"):
+                linear(f"{tk}.{m}", fp + (m,), bias=qkv_bias)
+            linear(f"{tk}.proj", fp + ("proj",))
+
+        def local(tk, fp, token):
+            if token == "graph":
+                linear(f"{tk}.knn_map.0", fp + ("knn_map",))
+                return
+            # deform family: q/k/v/v_off projections + offset MLP
+            for m in ("proj_q", "proj_k", "proj_v", "proj_v_off"):
+                if token != "deform_graph" or m == "proj_v_off":
+                    linear(f"{tk}.{m}", fp + (m,), bias=qkv_bias)
+            linear(f"{tk}.linear_offset.0", fp + ("linear_offset", "Dense_0"))
+            norm(f"{tk}.linear_offset.1", fp + ("linear_offset", "LayerNorm_0"))
+            linear(f"{tk}.linear_offset.3", fp + ("linear_offset", "Dense_1"), bias=False)
+            if token == "deform_graph":
+                linear(f"{tk}.knn_map.0", fp + ("knn_map",))
+            else:
+                linear(f"{tk}.proj", fp + ("proj",))
+
+        if not is_decoder:
+            style = styles
+            norm(f"{tprefix}.norm1", fprefix + ("norm1",))
+            norm(f"{tprefix}.norm2", fprefix + ("norm2",))
+            if "attn" in style.split("-"):
+                attention(f"{tprefix}.attn", fprefix + ("attn",))
+            loc = next((s for s in style.split("-") if s != "attn"), None)
+            if loc:
+                local(f"{tprefix}.local_attn", fprefix + ("local_attn",), loc)
+                linear(f"{tprefix}.merge_map", fprefix + ("merge_map",))
+            linear(f"{tprefix}.mlp.fc1", fprefix + ("mlp", "fc1"))
+            linear(f"{tprefix}.mlp.fc2", fprefix + ("mlp", "fc2"))
+        else:
+            sa, ca = styles
+            for n in ("norm1", "norm2", "norm_q", "norm_v"):
+                norm(f"{tprefix}.{n}", fprefix + (n,))
+            if "attn" in sa.split("-"):
+                attention(f"{tprefix}.self_attn", fprefix + ("self_attn",))
+            sloc = next((s for s in sa.split("-") if s != "attn"), None)
+            if sloc:
+                local(f"{tprefix}.local_self_attn", fprefix + ("local_self_attn",), sloc)
+                linear(f"{tprefix}.self_attn_merge_map", fprefix + ("self_attn_merge_map",))
+            if "attn" in ca.split("-"):
+                cross_attention(f"{tprefix}.cross_attn", fprefix + ("cross_attn",))
+            cloc = next((s for s in ca.split("-") if s != "attn"), None)
+            if cloc:
+                local(f"{tprefix}.local_cross_attn", fprefix + ("local_cross_attn",), cloc)
+                linear(f"{tprefix}.cross_attn_merge_map", fprefix + ("cross_attn_merge_map",))
+            linear(f"{tprefix}.mlp.fc1", fprefix + ("mlp", "fc1"))
+            linear(f"{tprefix}.mlp.fc2", fprefix + ("mlp", "fc2"))
+
+    enc_styles = list(config.encoder_config.block_style_list)
+    for i, style in enumerate(enc_styles):
+        attn_block(
+            f"base_model.encoder.blocks.blocks.{i}",
+            bm + ("encoder", f"block{i}"), style, is_decoder=False,
+        )
+    norm("base_model.encoder.norm", bm + ("encoder", "norm"))
+
+    sa_styles = list(config.decoder_config.self_attn_block_style_list)
+    ca_styles = list(config.decoder_config.cross_attn_block_style_list)
+    for i, (sa, ca) in enumerate(zip(sa_styles, ca_styles)):
+        attn_block(
+            f"base_model.decoder.blocks.blocks.{i}",
+            bm + ("decoder", f"block{i}"), (sa, ca), is_decoder=True,
+        )
+
+    # ---- wrapper: increase_dim Conv-BN-Conv, reduce_map, rebuild head ----
+    linear("increase_dim.0", ("increase_dim1",))
+    bn("increase_dim.1", ("increase_dim_bn",))
+    linear("increase_dim.3", ("increase_dim2",))
+    trans_dim = int(config.decoder_config.embed_dim)
+    concat_dense("reduce_map", ("reduce_map",), [1024, trans_dim, 3])
+    if config.decoder_type == "fc":
+        concat_dense("decode_head.layer.fc1", ("decode_head", "layer_fc1"),
+                     [trans_dim, trans_dim])
+        linear("decode_head.layer.fc2", ("decode_head", "layer_fc2"))
+    return {"params": params, "batch_stats": stats, "missing": missing,
+            "mapping": mapping}
+
+
 def load_torch_state(path: str) -> Dict[str, np.ndarray]:
     """Load a torch checkpoint file into numpy arrays (CPU torch)."""
     import torch
@@ -138,3 +330,44 @@ def load_gdanet_weights(path: str):
         print(f"[convert_torch] {len(result['missing'])} keys missing "
               f"(strict=False, like the reference): {result['missing'][:5]}...")
     return result["params"], result["batch_stats"]
+
+
+def main(argv=None):
+    """CLI: convert a reference torch checkpoint into a flax checkpoint.
+
+    python -m imgadapointr_tpu.tools.convert_torch \\
+        --config cfgs/PCN_models/AdaPoinTr.yaml --torch_ckpt ckpt-best.pth \\
+        --out experiments/converted   (writes ckpt-converted.ckpt)
+    """
+    import argparse
+    import os
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--torch_ckpt", required=True)
+    parser.add_argument("--out", required=True, help="output directory")
+    parser.add_argument("--kind", choices=["adapointr", "gdanet"], default="adapointr")
+    args = parser.parse_args(argv)
+
+    from ..utils.checkpoint import save_checkpoint
+    from ..utils.config import cfg_from_yaml_file
+
+    config = cfg_from_yaml_file(args.config)
+    sd = load_torch_state(args.torch_ckpt)
+    if args.kind == "gdanet":
+        result = convert_gdanet(sd)
+    else:
+        result = convert_adapointr(sd, config.model)
+    if result["missing"]:
+        print(f"[convert_torch] {len(result['missing'])} torch keys missing; "
+              f"first: {result['missing'][:8]}")
+    os.makedirs(args.out, exist_ok=True)
+    save_checkpoint(
+        {"params": result["params"], "batch_stats": result["batch_stats"]},
+        None, None, -1, "ckpt-converted", args.out,
+    )
+    print(f"wrote {os.path.join(args.out, 'ckpt-converted.ckpt')}")
+
+
+if __name__ == "__main__":
+    main()

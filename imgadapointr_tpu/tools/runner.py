@@ -145,8 +145,24 @@ class Runner:
             self._jit_cache["train"] = jax.jit(
                 self._train_step, donate_argnums=(0,)
             )
-        batch = shard_batch(batch, self.mesh)
+        if not isinstance(next(iter(batch.values())), jax.Array):
+            batch = shard_batch(batch, self.mesh)
         return self._jit_cache["train"](state, batch, rng, jnp.asarray(epoch_f))
+
+    def prefetch(self, loader_iter, depth: int = 2):
+        """Move batches to the mesh ahead of compute: yields
+        (taxonomy_ids, model_ids, device_batch) with ``depth`` transfers in
+        flight (the device-side half of the reference's DataLoader
+        prefetching)."""
+        import collections
+
+        queue = collections.deque()
+        for tax, mid, batch in loader_iter:
+            queue.append((tax, mid, shard_batch(batch, self.mesh)))
+            if len(queue) >= depth:
+                yield queue.popleft()
+        while queue:
+            yield queue.popleft()
 
     # -------------------------------------------------------------- eval step
     def _eval_step(self, params, batch_stats, batch):
@@ -232,7 +248,7 @@ def run_net(args, config, writers=None):
         n_batches = len(train_loader)
 
         t0 = time.time()
-        for idx, (_, _, batch) in enumerate(train_loader):
+        for idx, (_, _, batch) in enumerate(runner.prefetch(iter(train_loader))):
             # jax.profiler trace of a few warm steps (--profile; the tracing
             # story the reference lacks, SURVEY §5)
             if profile_window and epoch == start_epoch:

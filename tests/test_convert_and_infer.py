@@ -137,3 +137,90 @@ def test_inference_cli(tmp_path):
     fine = np.load(os.path.join(out_root, "cloud", "fine.npy"))
     assert fine.shape == (config.model.num_points, 3)
     assert np.isfinite(fine).all()
+
+
+def test_adapointr_conversion_covers_module_tree():
+    """Round-trip: synthesize a torch state dict from the converter's own
+    mapping (inverse shapes/transposes), convert, and require exact coverage
+    of the flax AdaPoinTr tree with matching shapes and values."""
+    from imgadapointr_tpu.models import AdaPoinTrBase
+    from imgadapointr_tpu.tools.convert_torch import convert_adapointr
+    from imgadapointr_tpu.utils.config import AttrDict
+
+    cfg = AttrDict(
+        {
+            "NAME": "AdaPoinTr", "num_query": 16, "num_points": 128,
+            "center_num": [32, 16], "global_feature_dim": 64,
+            "encoder_type": "graph", "decoder_type": "fc",
+            "encoder_config": {
+                "embed_dim": 48, "depth": 2, "num_heads": 6, "k": 4, "n_group": 2,
+                "mlp_ratio": 2.0, "block_style_list": ["attn-graph", "attn"],
+                "combine_style": "concat",
+            },
+            "decoder_config": {
+                "embed_dim": 48, "depth": 2, "num_heads": 6, "k": 4, "n_group": 2,
+                "mlp_ratio": 2.0,
+                "self_attn_block_style_list": ["attn-deform", "attn"],
+                "self_attn_combine_style": "concat",
+                "cross_attn_block_style_list": ["attn-graph", "attn"],
+                "cross_attn_combine_style": "concat",
+            },
+        }
+    )
+    model = AdaPoinTrBase(cfg)
+    key = jax.random.PRNGKey(0)
+    xyz = jax.random.normal(key, (2, 128, 3))
+    variables = jax.jit(
+        lambda k, x: model.init({"params": k, "noise": k}, x, train=True)
+    )(key, xyz)
+
+    def leaf(tree, path):
+        for p in path:
+            tree = tree[p]
+        return tree
+
+    # pass 1: mapping only (empty sd)
+    probe = convert_adapointr({}, cfg)
+    # synthesize torch arrays whose converted shapes equal the flax leaves
+    rs = np.random.RandomState(0)
+    sd = {}
+    for tkey, transform, fpaths in probe["mapping"]:
+        try:
+            if transform.startswith("split:"):
+                widths = [int(w) for w in transform.split(":")[1].split(",")]
+                outs = [leaf(variables["params"], p) for p in fpaths]
+                sd[tkey] = np.concatenate(
+                    [np.asarray(o) for o in outs], axis=0
+                ).T.astype(np.float32)
+            elif transform == "linear":
+                fl = leaf(variables["params"], fpaths)
+                sd[tkey] = np.asarray(fl).T.astype(np.float32)
+            elif transform == "direct:stats":
+                fl = leaf(variables["batch_stats"], fpaths)
+                sd[tkey] = np.asarray(fl).astype(np.float32)
+            else:
+                fl = leaf(variables["params"], fpaths)
+                sd[tkey] = np.asarray(fl).astype(np.float32)
+        except KeyError:
+            raise AssertionError(f"mapping targets unknown flax path {fpaths} ({tkey})")
+
+    result = convert_adapointr(sd, cfg)
+    assert not result["missing"], result["missing"][:5]
+
+    def paths(tree, prefix=()):
+        out = set()
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out |= paths(v, prefix + (k,))
+            else:
+                out.add(prefix + (k,))
+        return out
+
+    want = paths(variables["params"])
+    got = paths(result["params"])
+    assert got == want, (sorted(want - got)[:8], sorted(got - want)[:8])
+    for p in want:
+        a, b = leaf(result["params"], p), leaf(variables["params"], p)
+        assert a.shape == b.shape, (p, a.shape, b.shape)
+        np.testing.assert_allclose(a, np.asarray(b), atol=1e-6, err_msg=str(p))
+    assert paths(result["batch_stats"]) == paths(variables["batch_stats"])
