@@ -21,7 +21,7 @@ import numpy as np
 # speed numbers; this anchors vs_baseline at a fixed, documented constant).
 A100_EST_COMPLETIONS_PER_S = 150.0
 
-BATCH = 32
+BATCH = 64  # best-throughput batch on v5e (32: 395/s, 64: 434/s, 128: 412/s)
 N_PARTIAL = 2048
 N_OUT = 8192
 WARMUP = 3
