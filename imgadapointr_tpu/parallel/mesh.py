@@ -60,6 +60,16 @@ def param_sharding_rules(params, mesh: Mesh, min_size: int = 1 << 16):
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a host numpy batch onto the mesh, batch dim over 'data'."""
+    """Place a host batch onto the mesh, batch dim over 'data'.
+
+    Arrays whose leading dim doesn't divide the data axis (e.g. the bs=1
+    eval/test protocol, reference tools/runner.py:483) are replicated."""
     s = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+    rep = replicated(mesh)
+    n_data = mesh.shape[DATA_AXIS]
+
+    def put(x):
+        fits = hasattr(x, "shape") and x.ndim > 0 and x.shape[0] % n_data == 0
+        return jax.device_put(x, s if fits else rep)
+
+    return jax.tree.map(put, batch)
