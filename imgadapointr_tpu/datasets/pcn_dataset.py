@@ -82,7 +82,11 @@ class BasePCNDataset:
                 dc for dc in self.dataset_categories if dc["taxonomy_id"] == "02958343"
             ]
 
-        self.n_renderings = 8 if self.subset == "train" else 1
+        # the reference hardcodes 8 and ignores its own N_RENDERINGS key
+        # (BasePCNDataset.py:54); here the config key is honoured
+        self.n_renderings = (
+            int(config.get("N_RENDERINGS", 8)) if self.subset == "train" else 1
+        )
         self.file_list = self._get_file_list(self.subset, self.n_renderings)
         self.transforms = self._get_transforms(self.subset)
 
