@@ -26,6 +26,7 @@ from .sampling import (
     random_scale,
     random_dropping,
     separate_point_cloud,
+    train_random_crop,
 )
 from .emd import emd_auction, emd_distance_metric
 from .normals import estimate_pointcloud_normals
@@ -56,4 +57,6 @@ __all__ = [
     "random_sample",
     "random_scale",
     "random_dropping",
+    "separate_point_cloud",
+    "train_random_crop",
 ]

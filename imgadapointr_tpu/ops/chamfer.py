@@ -179,7 +179,11 @@ def _nn_distance_bwd(tile, res, grads):
     gy_own = 2.0 * (y - x_at_i2) * g2[..., None]
     gx = gx_own + _scatter_add_rows(x.shape[1], i2, -gy_own)
     gy = gy_own + _scatter_add_rows(y.shape[1], i1, -gx_own)
-    return gx.astype(x.dtype), gy.astype(y.dtype), None, None
+    # cotangent pytree must match the primal inputs: zero grads for array
+    # masks, None only when the primal mask was None
+    gw1 = None if w1 is None else jnp.zeros_like(w1)
+    gw2 = None if w2 is None else jnp.zeros_like(w2)
+    return gx.astype(x.dtype), gy.astype(y.dtype), gw1, gw2
 
 
 nn_distance.defvjp(_nn_distance_fwd, _nn_distance_bwd)

@@ -217,18 +217,26 @@ def ball_query(
 ) -> jax.Array:
     """Indices of up to ``nsample`` points within ``radius`` of each query.
 
-    pointnet2 ``ball_query`` semantics (listed in SURVEY §2.1): the first
-    in-radius point fills the slots of queries with fewer than ``nsample``
-    neighbours; queries with none fall back to their nearest point.
-    Returns (B, S, nsample) int32.
+    Exact pointnet2 ``ball_query`` semantics: slots are filled with the first
+    ``nsample`` in-radius points in INDEX order (not distance order); short
+    neighbourhoods repeat the first in-radius point; queries with no in-radius
+    point keep index 0 (the CUDA kernel leaves its zero-init). Returns
+    (B, S, nsample) int32.
     """
+    N = xyz.shape[1]
     sqd = square_distance(new_xyz, xyz)
     in_ball = sqd <= radius * radius
-    # order by distance, then mask: take the nsample nearest in-ball points
-    d_masked = jnp.where(in_ball, sqd, jnp.inf)
-    _, idx = jax.lax.top_k(-d_masked, nsample)  # ascending distance
-    valid = jnp.take_along_axis(in_ball, idx, axis=-1)
-    first = idx[..., :1]
+    # first nsample in-radius indices in index order: sort key = index when
+    # in-ball else N (pushed past every real index)
+    key = jnp.where(in_ball, jnp.arange(N)[None, None, :], N)
+    neg, _ = jax.lax.top_k(-key, min(nsample, N))
+    idx = -neg  # ascending index order, invalid slots = N
+    if nsample > N:  # more slots than points: extra slots repeat the filler
+        idx = jnp.concatenate(
+            [idx, jnp.full((*idx.shape[:-1], nsample - N), N, idx.dtype)], axis=-1
+        )
+    valid = idx < N
+    first = jnp.where(valid[..., :1], idx[..., :1], 0)
     return jnp.where(valid, idx, first).astype(jnp.int32)
 
 

@@ -73,9 +73,12 @@ def separate_point_cloud(
     if fixed_point is None:
         assert key is not None
         center = jax.random.normal(key, (B, 1, 3))
+        # only the RANDOM center is unit-normalised (F.normalize in the
+        # reference); fixed corner viewpoints like (1,1,1) are used raw —
+        # scaling them would change the distance ordering and the crop.
+        center = center / jnp.linalg.norm(center, axis=-1, keepdims=True)
     else:
         center = jnp.broadcast_to(jnp.asarray(fixed_point).reshape(1, 1, 3), (B, 1, 3))
-    center = center / jnp.linalg.norm(center, axis=-1, keepdims=True)
     dist = jnp.linalg.norm(center - xyz, axis=-1)  # (B, N)
     order = jnp.argsort(dist, axis=-1)  # ascending: nearest to view first
     sorted_pts = index_points(xyz, order.astype(jnp.int32))
@@ -88,17 +91,54 @@ def separate_point_cloud(
     return input_data, crop_data
 
 
-def random_dropping(key: jax.Array, pc: jax.Array, e: int) -> jax.Array:
-    """KITTI-style random point dropping with zero-pad back to fixed shape.
+def random_dropping(key: jax.Array, pc: jax.Array, epoch) -> jax.Array:
+    """KITTI-finetune random point dropping with zero-pad back to fixed shape.
 
-    Reference utils/misc.py:268-275 picks ``up_num = max(64, 768//(e//50+1))``
-    points and zero-pads to 2048. Fixed-shape version: keep a random subset of
-    that size, zero the rest.
+    Reference utils/misc.py:268-275: ``up_num = max(64, 768//(e//50+1))``,
+    keep ``randint(1, up_num)`` points chosen by FPS (spatially spread), then
+    zero-pad to the original size. Fixed-shape version: compute the full FPS
+    ordering once (the first k of an FPS ordering == fps(pc, k)) and mask all
+    slots beyond the random keep-count. ``epoch`` may be traced.
     """
-    up_num = max(64, 768 // (e // 50 + 1))
+    from .pointops import furthest_point_sample
+
     B, N, _ = pc.shape
-    scores = jax.random.uniform(key, (B, N))
-    _, keep = jax.lax.top_k(scores, min(up_num, N))
-    kept = index_points(pc, keep.astype(jnp.int32))
-    out = jnp.zeros_like(pc)
-    return jax.lax.dynamic_update_slice(out, kept, (0, 0, 0))
+    e = jnp.asarray(epoch, jnp.int32)
+    up_num = jnp.maximum(64, 768 // (e // 50 + 1))
+    keep_n = jax.random.randint(key, (), 1, jnp.maximum(up_num, 2))
+    order = furthest_point_sample(pc, N)  # full farthest-first ordering
+    spread = index_points(pc, order)
+    mask = (jnp.arange(N) < keep_n)[None, :, None]
+    return spread * mask.astype(pc.dtype)
+
+
+def train_random_crop(
+    key: jax.Array, gt: jax.Array, npoints: int, out_points: int = 2048
+) -> jax.Array:
+    """ShapeNet-55/34 train-time augmentation: crop a random-size chunk
+    toward a random view direction, FPS the remainder to ``out_points``.
+
+    Reference tools/runner.py:177-181 + utils/misc.py:153-213: per-sample
+    ``num_crop ~ U[N/4, 3N/4]``, the ``num_crop`` points nearest a random
+    unit direction are dropped, the rest FPS'd to 2048. Fixed-shape version:
+    sort by distance to the view, replace the cropped (nearest) prefix with
+    duplicates of the farthest kept point — FPS never picks a duplicate
+    (min-distance 0) before a distinct point, and the kept count
+    (>= N/4 >= out_points) always exceeds ``out_points``.
+    """
+    from .pointops import fps
+
+    B, N, _ = gt.shape
+    assert N == npoints
+    lo, hi = npoints // 4, (npoints * 3) // 4
+    k_center, k_crop = jax.random.split(key)
+    center = jax.random.normal(k_center, (B, 1, 3))
+    center = center / jnp.linalg.norm(center, axis=-1, keepdims=True)
+    num_crop = jax.random.randint(k_crop, (B, 1), lo, hi + 1)
+    dist = jnp.linalg.norm(center - gt, axis=-1)  # (B, N)
+    order = jnp.argsort(dist, axis=-1)  # nearest to view first = cropped
+    sorted_pts = index_points(gt, order.astype(jnp.int32))
+    keep = jnp.arange(N)[None, :] >= num_crop  # (B, N)
+    filler = sorted_pts[:, -1:, :]  # farthest point, always kept
+    kept_pts = jnp.where(keep[..., None], sorted_pts, filler)
+    return fps(kept_pts, out_points)

@@ -46,6 +46,15 @@ class Runner:
         self.module = self.spec.module
         self.consider_metric = config.get("consider_metric", "CDL1")
         self._jit_cache = {}
+        # train-time input augmentation branches (reference tools/runner.py:
+        # 150-185): ShapeNet-55/34 trains on random crops of the gt; CARS
+        # (KITTI finetune) randomly drops points from the partial.
+        train_cfg = config.dataset.get("train") if config.get("dataset") else None
+        base = train_cfg.get("_base_") if train_cfg else None
+        name = base.get("NAME", "") if base else ""
+        self.shapenet_train_crop = "ShapeNet" in name and "PCN" not in name
+        self.cars_dropping = bool(base.get("CARS", False)) if base else False
+        self.train_npoints = int(base.get("N_POINTS", 8192)) if base else 0
 
     # ------------------------------------------------------------------ setup
     def init_state(self, example_batch, seed: int = 0):
@@ -108,13 +117,28 @@ class Runner:
     def _train_step(self, state, batch, rng, epoch_f):
         spec = self.spec
         bnm = self.bnm_sched(epoch_f)
+        rng_noise, rng_drop, rng_aug = jax.random.split(rng, 3)
+        if self.shapenet_train_crop:
+            from ..ops import train_random_crop
+
+            batch = dict(batch)
+            batch["partial"] = train_random_crop(
+                rng_aug, batch["gt"], self.train_npoints
+            )
+        elif self.cars_dropping:
+            from ..ops import random_dropping
+
+            batch = dict(batch)
+            batch["partial"] = random_dropping(
+                rng_aug, batch["partial"], jnp.floor(epoch_f).astype(jnp.int32)
+            )
 
         def loss_fn(params):
             inputs = [batch[k] for k in spec.inputs]
             variables = {"params": params, "batch_stats": state["batch_stats"]}
             ret, upd = self.module.apply(
                 variables, *inputs, train=True, bn_momentum=bnm,
-                rngs={"noise": rng, "dropout": rng},
+                rngs={"noise": rng_noise, "dropout": rng_drop},
                 mutable=["batch_stats"],
             )
             sparse, dense = spec.loss_fn(ret, batch["gt"], epoch_f)
@@ -431,6 +455,10 @@ def test_net(args, config):
         exp, prefix = os.path.split(args.ckpts)
         prefix = prefix.replace(".ckpt", "")
         state, _ = load_checkpoint(state, prefix, exp)
+    else:
+        # reference tools/runner.py:470-472 loads ckpts or raises; evaluating
+        # a random init silently would produce garbage tables
+        raise ValueError("test_net requires --ckpts (refusing to test a random init)")
     state = runner.shard_state(state)
     return test(runner, state, test_loader, args, config, logger)
 

@@ -51,12 +51,32 @@ def cos_lr_value(epoch, t_max, lr, min_lr, warmup_e=0, warmup_lr_init=1e-6):
     return jnp.where(e < warmup_e, warm, cos)
 
 
-def gradual_warmup_factor(epoch, multiplier, total_epoch):
-    """Multiplier ramp: 1 → multiplier over total_epoch epochs, 1 beyond
-    (the after-scheduler factor is composed by the caller)."""
+def gradual_warmup_lr(
+    epoch, base_lr, multiplier, total_epoch, after_step_size=None, after_gamma=0.1
+):
+    """GradualWarmupScheduler semantics (reference utils/misc.py:287-346):
+
+    - ``e <= total_epoch``: with multiplier==1 the lr ramps 0 → base_lr
+      (``base_lr * e / total_epoch``); with multiplier>1 it ramps
+      base_lr → base_lr*multiplier. The after-scheduler does NOT decay
+      during warmup.
+    - ``e > total_epoch``: hand off to the after-scheduler (StepLR here)
+      evaluated at ``e - total_epoch`` with base ``base_lr * multiplier``.
+    """
     e = jnp.asarray(epoch, jnp.float32)
-    ramp = 1.0 + (multiplier - 1.0) * jnp.clip(e / total_epoch, 0.0, 1.0)
-    return ramp
+    if multiplier == 1.0:
+        warm = base_lr * e / total_epoch
+    else:
+        warm = base_lr * (1.0 + (multiplier - 1.0) * jnp.clip(e / total_epoch, 0.0, 1.0))
+    if after_step_size is not None:
+        after = (
+            base_lr
+            * multiplier
+            * after_gamma ** jnp.floor((e - total_epoch) / after_step_size)
+        )
+    else:
+        after = jnp.asarray(base_lr * multiplier, jnp.float32)
+    return jnp.where(e <= total_epoch, warm, after)
 
 
 def build_lr_schedule(base_lr: float, sched_cfg, max_epoch: int):
@@ -70,11 +90,7 @@ def build_lr_schedule(base_lr: float, sched_cfg, max_epoch: int):
         gamma = k1.get("gamma", 0.5)
         mult = k2.get("multiplier", 1.0)
         total = k2.get("total_epoch", 1)
-        return lambda e: (
-            base_lr
-            * step_lr_factor(e, step_size, gamma)
-            * gradual_warmup_factor(e, mult, total)
-        )
+        return lambda e: gradual_warmup_lr(e, base_lr, mult, total, step_size, gamma)
     k = sched_cfg.kwargs
     if t == "LambdaLR":
         return lambda e: base_lr * lambda_lr_factor(
@@ -95,10 +111,10 @@ def build_lr_schedule(base_lr: float, sched_cfg, max_epoch: int):
         total = k.get("total_epoch", 1)
         if after is not None and after.type == "StepLR":
             ak = after.kwargs
-            base = lambda e: base_lr * step_lr_factor(e, ak.decay_step, ak.get("gamma", 0.1))
-        else:
-            base = lambda e: jnp.asarray(base_lr)
-        return lambda e: base(e) * gradual_warmup_factor(e, mult, total)
+            return lambda e: gradual_warmup_lr(
+                e, base_lr, mult, total, ak.decay_step, ak.get("gamma", 0.1)
+            )
+        return lambda e: gradual_warmup_lr(e, base_lr, mult, total)
     raise NotImplementedError(f"scheduler type {t}")
 
 
