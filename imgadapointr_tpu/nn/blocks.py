@@ -345,9 +345,12 @@ class CrossAttnBlockApi(nn.Module):
 
 
 class PointTransformerEncoder(nn.Module):
-    """Stack of SelfAttnBlockApi with one shared precomputed kNN idx and a
-    final LayerNorm (reference base_blocks.py:312-432, incl. the linspace
-    stochastic-depth schedule at :400)."""
+    """Stack of SelfAttnBlockApi with one shared precomputed kNN idx
+    (reference base_blocks.py:312-432, incl. the linspace stochastic-depth
+    schedule at :400). NOTE: the reference defines a final ``self.norm``
+    but its forward (base_blocks.py:429-431) never applies it — a dead
+    parameter. Parity requires NOT normalising here (verified by the
+    activation-parity harness, parity/run_parity.py)."""
 
     embed_dim: int = 256
     depth: int = 12
@@ -378,7 +381,7 @@ class PointTransformerEncoder(nn.Module):
                 combine_style=self.combine_style, k=self.k, n_group=self.n_group,
                 name=f"block{i}",
             )(x, pos, idx=idx, deterministic=deterministic)
-        return nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+        return x
 
 
 class PointTransformerDecoder(nn.Module):

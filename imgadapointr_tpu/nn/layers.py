@@ -132,7 +132,11 @@ class DropPath(nn.Module):
 
 def _sdpa(q, k, v, scale, mask=None, dropout=None):
     """Scaled dot-product attention on (B, H, N, D) tensors, fp32 softmax."""
-    attn = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
+    # accumulate in >= f32 (f32 for bf16/f32 inputs; f64 under x64 parity runs)
+    attn = jnp.einsum(
+        "bhnd,bhmd->bhnm", q, k,
+        preferred_element_type=jnp.promote_types(q.dtype, jnp.float32),
+    )
     attn = attn * scale
     if mask is not None:
         attn = jnp.where(mask, jnp.finfo(attn.dtype).min, attn)
@@ -252,7 +256,8 @@ class BatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
         else:
             reduce_axes = tuple(range(x.ndim - 1))
-            x32 = x.astype(jnp.float32)
+            # stats in >= f32 (f32 for bf16/f32 inputs; f64 under x64 parity)
+            x32 = x.astype(jnp.promote_types(x.dtype, jnp.float32))
             mean = jnp.mean(x32, axis=reduce_axes)
             var = jnp.mean(jnp.square(x32), axis=reduce_axes) - jnp.square(mean)
             # cross-device batch stats (SyncBN analog) are handled by the

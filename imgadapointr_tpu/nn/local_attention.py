@@ -94,7 +94,10 @@ def _local_cross_attn(q_proj, k_feat, v_feat, num_heads, scale):
     qh = einops.rearrange(q_proj, "b n (h d) -> b h n d", h=num_heads)
     kh = einops.rearrange(k_feat, "b n k (h d) -> b h n k d", h=num_heads)
     vh = einops.rearrange(v_feat, "b n k (h d) -> b h n k d", h=num_heads)
-    attn = jnp.einsum("bhnd,bhnkd->bhnk", qh, kh, preferred_element_type=jnp.float32)
+    attn = jnp.einsum(
+        "bhnd,bhnkd->bhnk", qh, kh,
+        preferred_element_type=jnp.promote_types(qh.dtype, jnp.float32),
+    )
     attn = jax.nn.softmax(attn * scale, axis=-1).astype(vh.dtype)
     out = jnp.einsum("bhnk,bhnkd->bhnd", attn, vh)
     return einops.rearrange(out, "b h n d -> b n (h d)")
@@ -158,7 +161,8 @@ class DeformableLocalAttention(nn.Module):
         kh = einops.rearrange(kf, "b n k (h d) -> b h n k d", h=H)
         vh = einops.rearrange(vf, "b n k (h d) -> b h n k d", h=H)
         attn = jnp.einsum(
-            "bhnkd,bhnld->bhnkl", qh, kh, preferred_element_type=jnp.float32
+            "bhnkd,bhnld->bhnkl", qh, kh,
+            preferred_element_type=jnp.promote_types(qh.dtype, jnp.float32),
         )
         attn = jax.nn.softmax(attn * scale, axis=-1).astype(vh.dtype)
         out = jnp.einsum("bhnkl,bhnld->bhnkd", attn, vh)

@@ -120,14 +120,19 @@ def _put(tree, path, val):
     node[path[-1]] = np.asarray(val)
 
 
-def convert_adapointr(torch_state: Dict[str, np.ndarray], config) -> dict:
+def convert_adapointr(
+    torch_state: Dict[str, np.ndarray], config, prefix: tuple = ()
+) -> dict:
     """Reference AdaPoinTr-family checkpoint → AdaPoinTrBase params/stats.
 
     Handles the point-only tree (models/external/AdaPoinTr.py): grouper,
     encoder/decoder block stacks (attn / graph / deform style tokens,
     'concat' combine), query machinery, and the fc rebuild head. Fused
-    Linears over concats row-split into ConcatDense parts. Image/seg fusion
-    subtrees convert via the same rules when present.
+    Linears over concats row-split into ConcatDense parts.
+
+    ``prefix`` prepends a flax path to every output (the Img/Seg wrappers
+    nest the AdaPoinTr core under ``core``). Use convert_img_adapointr for
+    the full ImgResNetEncAdaPoinTrVariableLoss tree.
 
     Returns {"params", "batch_stats", "missing"}.
     """
@@ -189,7 +194,7 @@ def convert_adapointr(torch_state: Dict[str, np.ndarray], config) -> dict:
             if b is not None:
                 _put(params, fpath + ("part0", "bias"), b)
 
-    bm = ("base_model",)
+    bm = prefix + ("base_model",)
     dim = int(config.encoder_config.embed_dim)
     gfd = int(config.global_feature_dim)
 
@@ -281,7 +286,8 @@ def convert_adapointr(torch_state: Dict[str, np.ndarray], config) -> dict:
             f"base_model.encoder.blocks.blocks.{i}",
             bm + ("encoder", f"block{i}"), style, is_decoder=False,
         )
-    norm("base_model.encoder.norm", bm + ("encoder", "norm"))
+    # base_model.encoder.norm is a DEAD parameter in the reference (defined
+    # but never applied, base_blocks.py:429-431) — intentionally skipped.
 
     sa_styles = list(config.decoder_config.self_attn_block_style_list)
     ca_styles = list(config.decoder_config.cross_attn_block_style_list)
@@ -292,17 +298,135 @@ def convert_adapointr(torch_state: Dict[str, np.ndarray], config) -> dict:
         )
 
     # ---- wrapper: increase_dim Conv-BN-Conv, reduce_map, rebuild head ----
-    linear("increase_dim.0", ("increase_dim1",))
-    bn("increase_dim.1", ("increase_dim_bn",))
-    linear("increase_dim.3", ("increase_dim2",))
+    linear("increase_dim.0", prefix + ("increase_dim1",))
+    bn("increase_dim.1", prefix + ("increase_dim_bn",))
+    linear("increase_dim.3", prefix + ("increase_dim2",))
     trans_dim = int(config.decoder_config.embed_dim)
-    concat_dense("reduce_map", ("reduce_map",), [1024, trans_dim, 3])
+    concat_dense("reduce_map", prefix + ("reduce_map",), [1024, trans_dim, 3])
     if config.decoder_type == "fc":
-        concat_dense("decode_head.layer.fc1", ("decode_head", "layer_fc1"),
+        concat_dense("decode_head.layer.fc1", prefix + ("decode_head", "layer_fc1"),
                      [trans_dim, trans_dim])
-        linear("decode_head.layer.fc2", ("decode_head", "layer_fc2"))
+        linear("decode_head.layer.fc2", prefix + ("decode_head", "layer_fc2"))
     return {"params": params, "batch_stats": stats, "missing": missing,
             "mapping": mapping}
+
+
+def _convert_mha(sd, params, missing, tkey: str, fpath: tuple, fused: bool):
+    """torch nn.MultiheadAttention → Attention (fused qkv) or CrossAttention
+    (split q/k/v) parameters. in_proj_weight rows pack [q; k; v]."""
+    w = sd.get(f"{tkey}.in_proj_weight")
+    b = sd.get(f"{tkey}.in_proj_bias")
+    if w is None:
+        missing.append(f"{tkey}.in_proj_weight")
+    else:
+        if fused:
+            _put(params, fpath + ("qkv", "kernel"), t(w))
+            if b is not None:
+                _put(params, fpath + ("qkv", "bias"), b)
+        else:
+            E = w.shape[1]
+            for i, m in enumerate(("q_map", "k_map", "v_map")):
+                _put(params, fpath + (m, "kernel"), t(w[i * E:(i + 1) * E]))
+                if b is not None:
+                    _put(params, fpath + (m, "bias"), b[i * E:(i + 1) * E])
+    ow = sd.get(f"{tkey}.out_proj.weight")
+    ob = sd.get(f"{tkey}.out_proj.bias")
+    if ow is None:
+        missing.append(f"{tkey}.out_proj.weight")
+    else:
+        _put(params, fpath + ("proj", "kernel"), t(ow))
+        if ob is not None:
+            _put(params, fpath + ("proj", "bias"), ob)
+
+
+def _convert_fusion_stack(sd, params, missing, tprefix: str, tag: str, fpath: tuple):
+    """The 5-layer MHA fusion stack (reference pctransformer.py:114-136):
+    cross1 → self1 → cross2 → self2 → cross3 with post-LN after each."""
+    pairs = [
+        (f"cross_attn_{tag}1", ("cross1",), False),
+        (f"self_attn_{tag}1", ("self1",), True),
+        (f"cross_attn_{tag}2", ("cross2",), False),
+        (f"self_attn_{tag}2", ("self2",), True),
+        (f"cross_attn_{tag}3", ("cross3",), False),
+    ]
+    for tname, fname, fused in pairs:
+        _convert_mha(sd, params, missing, f"{tprefix}.{tname}", fpath + fname, fused)
+    for i in range(1, 6):
+        w = sd.get(f"{tprefix}.layer_norm_{tag}{i}.weight")
+        b = sd.get(f"{tprefix}.layer_norm_{tag}{i}.bias")
+        if w is None:
+            missing.append(f"{tprefix}.layer_norm_{tag}{i}.weight")
+        else:
+            _put(params, fpath + (f"ln{i}", "scale"), w)
+            _put(params, fpath + (f"ln{i}", "bias"), b)
+
+
+def _convert_resnet_trunk(sd, params, stats, missing, tprefix: str, fpath: tuple,
+                          stage_sizes, num_stages: int):
+    """torchvision ResNet Sequential(children()[:-3]) → _ResNetTrunk params.
+
+    torch Sequential indices: 0 conv1, 1 bn1, 2 relu, 3 maxpool, 4.. layers.
+    """
+
+    def conv(tkey, fp):
+        w = sd.get(f"{tkey}.weight")
+        if w is None:
+            missing.append(f"{tkey}.weight")
+            return
+        _put(params, fp + ("kernel",), convnd(w))
+
+    def bn(tkey, fp):
+        for tn, fn, tree in (
+            ("weight", "scale", params), ("bias", "bias", params),
+            ("running_mean", "mean", stats), ("running_var", "var", stats),
+        ):
+            v = sd.get(f"{tkey}.{tn}")
+            if v is None:
+                missing.append(f"{tkey}.{tn}")
+            else:
+                _put(tree, fp + (fn,), v)
+
+    conv(f"{tprefix}.0", fpath + ("stem_conv",))
+    bn(f"{tprefix}.1", fpath + ("stem_bn",))
+    for s in range(num_stages):
+        for b_i in range(stage_sizes[s]):
+            tb = f"{tprefix}.{4 + s}.{b_i}"
+            fb = fpath + (f"layer{s + 1}_{b_i}",)
+            for cname in ("conv1", "conv2", "conv3"):
+                if f"{tb}.{cname}.weight" in sd:
+                    conv(f"{tb}.{cname}", fb + (cname.replace("conv", "conv"),))
+                    bn(f"{tb}.{cname.replace('conv', 'bn')}", fb + (cname.replace("conv", "bn"),))
+            if f"{tb}.downsample.0.weight" in sd:
+                conv(f"{tb}.downsample.0", fb + ("down_conv",))
+                bn(f"{tb}.downsample.1", fb + ("down_bn",))
+
+
+def convert_img_adapointr(torch_state: Dict[str, np.ndarray], config) -> dict:
+    """Reference ImgResNetEncAdaPoinTrVariableLoss checkpoint → the
+    ImgAdaPoinTrModel tree: AdaPoinTr core under ``core``, ResNet18 trunk
+    under ``im_encoder``, and the img fusion stack (get_better_img_size +
+    5× MultiheadAttention + 5× LayerNorm, reference
+    models/internal/pctransformer.py:85-136) under ``core/base_model/
+    img_fusion``."""
+    res = convert_adapointr(torch_state, config, prefix=("core",))
+    params, stats, missing = res["params"], res["batch_stats"], res["missing"]
+    sd = torch_state
+
+    _convert_resnet_trunk(
+        sd, params, stats, missing, "base_model.im_encoder.base",
+        ("im_encoder", "trunk"), stage_sizes=(2, 2, 2, 2), num_stages=3,
+    )
+    fus = ("core", "base_model", "img_fusion")
+    w = sd.get("base_model.get_better_img_size.0.weight")
+    if w is None:
+        missing.append("base_model.get_better_img_size.0.weight")
+    else:
+        _put(params, fus + ("proj", "kernel"), t(w))
+        _put(params, fus + ("proj", "bias"),
+             sd["base_model.get_better_img_size.0.bias"])
+    _convert_fusion_stack(sd, params, missing, "base_model", "img",
+                          fus + ("fusion",))
+    return res
 
 
 def load_torch_state(path: str) -> Dict[str, np.ndarray]:

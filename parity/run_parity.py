@@ -1,0 +1,365 @@
+"""Activation-level parity harness: reference torch models (CPU) vs this
+framework's flax models, through tools/convert_torch weight conversion.
+
+Usage (from /root/repo):
+    python parity/run_parity.py --config cfgs/PCN_models/AdaPoinTr-tiny.yaml \
+        [--double] [--train] [--golden tests/goldens/adapointr_tiny.npz]
+
+- Builds the reference AdaPoinTr (models/external/AdaPoinTr.py:156-265) on
+  CPU with stubbed CUDA ops (parity/stubs.py), random-initialised at a fixed
+  torch seed.
+- Converts its state_dict with tools/convert_torch.convert_adapointr into
+  this framework's parameter tree.
+- Runs both on the same input and compares per-stage activations:
+  grouper -> encoder -> (q, coarse) -> increase_dim -> reduce_map ->
+  decode_head -> final outputs.
+- Optionally freezes (input, converted weights, reference outputs) into a
+  golden .npz so CI can re-assert parity without torch/the reference.
+
+fp64 (--double) removes float noise: any per-stage delta then indicates a
+semantic divergence (GELU flavor, tie-breaks, layout), not rounding.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFERENCE = "/root/reference"
+sys.path.insert(0, REPO)
+
+from parity.stubs import install_stubs  # noqa: E402
+
+
+def to_plain(d):
+    if isinstance(d, dict):
+        return {k: to_plain(v) for k, v in d.items()}
+    if isinstance(d, (list, tuple)):
+        return type(d)(to_plain(v) for v in d)
+    return d
+
+
+def flatten(tree, prefix=()):
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(flatten(v, prefix + (k,)))
+        else:
+            out[prefix + (k,)] = v
+    return out
+
+
+def unflatten(flat):
+    tree = {}
+    for path, v in flat.items():
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = v
+    return tree
+
+
+def build_reference_model(model_cfg, double, kind="adapointr"):
+    """Instantiate the reference torch model with stubbed CUDA ops."""
+    install_stubs()
+    sys.path.insert(0, REFERENCE)
+    import torch
+    from easydict import EasyDict  # stub
+
+    if kind == "img":
+        from models.internal.ImgResNetEncAdaPoinTrVariableLoss import (
+            ImgResNetEncAdaPoinTrVariableLoss as RefModel,
+        )
+    else:
+        from models.external.AdaPoinTr import AdaPoinTr as RefModel
+
+    torch.manual_seed(0)
+    ref = RefModel(EasyDict(to_plain(model_cfg)))
+    # At trunc_normal(0.02) random init the query_ranking sigmoid scores are
+    # all 0.5±1e-6, so top-k selection is pure tie-breaking noise (torch
+    # argsort vs jax top_k order). Boost those weights so scores separate
+    # like a trained model's and selection reflects semantics, not ties.
+    with torch.no_grad():
+        for m in ref.base_model.query_ranking:
+            # boost only the last (scalar-out) layer: exactly linear in the
+            # logit, so scores separate without saturating the sigmoid
+            if isinstance(m, torch.nn.Linear) and m.out_features == 1:
+                m.weight *= 1000.0
+    ref.eval()
+    if double:
+        ref.double()
+    return ref
+
+
+def torch_state_numpy(ref):
+    return {k: v.detach().cpu().numpy() for k, v in ref.state_dict().items()}
+
+
+def convert_and_merge(sd, model_cfg, examples, double, kind="adapointr"):
+    """Convert the torch state dict and merge into a freshly-initialised
+    flax template (asserting full coverage + shape agreement)."""
+    import jax
+    import jax.numpy as jnp
+
+    from imgadapointr_tpu.models.build import build_model_spec
+    from imgadapointr_tpu.tools.convert_torch import (
+        convert_adapointr,
+        convert_img_adapointr,
+    )
+
+    convert = convert_img_adapointr if kind == "img" else convert_adapointr
+    res = convert(sd, model_cfg)
+    assert not res["missing"], f"torch keys not found: {res['missing'][:10]}"
+
+    spec = build_model_spec(model_cfg)
+    key = jax.random.PRNGKey(0)
+    variables = spec.module.init(
+        {"params": key, "noise": key, "dropout": key}, *examples, train=False
+    )
+    dtype = jnp.float64 if double else jnp.float32
+
+    flat_t = flatten(to_plain(variables["params"]))
+    flat_c = flatten(res["params"])
+    unused_t = [k for k in flat_t if k not in flat_c]
+    unused_c = [k for k in flat_c if k not in flat_t]
+    assert not unused_c, f"converted params with no flax home: {unused_c[:10]}"
+    assert not unused_t, f"flax params not covered by converter: {unused_t[:10]}"
+    merged = {}
+    for k, tv in flat_t.items():
+        cv = np.asarray(flat_c[k])
+        assert cv.shape == tv.shape, f"{k}: torch {cv.shape} vs flax {tv.shape}"
+        merged[k] = jnp.asarray(cv, dtype)
+
+    flat_bs = flatten(to_plain(variables.get("batch_stats", {})))
+    flat_cbs = flatten(res["batch_stats"])
+    merged_bs = {}
+    for k, tv in flat_bs.items():
+        src = np.asarray(flat_cbs[k]) if k in flat_cbs else np.asarray(tv)
+        merged_bs[k] = jnp.asarray(src, dtype)
+
+    return spec, {"params": unflatten(merged), "batch_stats": unflatten(merged_bs)}
+
+
+def run_reference(ref, inputs_t, train=False):
+    """Forward the torch model, capturing per-stage activations via hooks."""
+    import torch
+
+    acts = {}
+
+    def hook(name):
+        def fn(mod, inp, out):
+            acts[name] = out
+
+        return fn
+
+    handles = [
+        ref.base_model.grouper.register_forward_hook(hook("grouper")),
+        ref.base_model.encoder.register_forward_hook(hook("encoder")),
+        ref.base_model.decoder.register_forward_hook(hook("decoder_q")),
+        ref.base_model.register_forward_hook(hook("base_model")),
+        ref.increase_dim.register_forward_hook(hook("increase_dim")),
+        ref.reduce_map.register_forward_hook(hook("reduce_map")),
+        ref.decode_head.register_forward_hook(hook("decode_head")),
+    ]
+    if hasattr(ref.base_model, "im_encoder"):
+        handles.append(
+            ref.base_model.im_encoder.register_forward_hook(hook("im_encoder"))
+        )
+        handles.append(
+            ref.base_model.layer_norm_img5.register_forward_hook(hook("img_fusion"))
+        )
+    ref.train(train)
+    with torch.no_grad():
+        ret = ref(*inputs_t)
+    for h in handles:
+        h.remove()
+    ref.eval()
+    return ret, acts
+
+
+def run_ours(spec, variables, inputs_j, train=False, noise_key=None):
+    """Forward the flax model with intermediate capture."""
+    import jax
+
+    rngs = None
+    if train:
+        rngs = {"noise": noise_key, "dropout": noise_key}
+    ret, mods = spec.module.apply(
+        variables,
+        *inputs_j,
+        train=train,
+        rngs=rngs,
+        capture_intermediates=True,
+        mutable=["intermediates", "batch_stats"],
+    )
+    return ret, mods["intermediates"]
+
+
+def _np(x):
+    import torch
+
+    if isinstance(x, torch.Tensor):
+        return x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
+def compare(name, a, b, tol, report):
+    a, b = _np(a), _np(b)
+    assert a.shape == b.shape, f"{name}: shape {a.shape} vs {b.shape}"
+    scale = max(np.abs(a).max(), 1e-6)
+    delta = np.abs(a - b).max() / scale
+    report.append((name, float(delta), a.shape))
+    status = "OK " if delta < tol else "FAIL"
+    print(f"  [{status}] {name:28s} rel-delta {delta:.3e}  shape {a.shape}")
+    return delta < tol
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="cfgs/PCN_models/AdaPoinTr-tiny.yaml")
+    ap.add_argument("--model", choices=["adapointr", "img"], default="adapointr")
+    ap.add_argument("--double", action="store_true", help="fp64 on both sides")
+    ap.add_argument("--train", action="store_true", help="also check train mode")
+    ap.add_argument("--golden", default=None, help="write golden npz here")
+    ap.add_argument("--tol", type=float, default=None)
+    ap.add_argument("--n-points", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=2)
+    args = ap.parse_args()
+
+    os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+    import jax
+
+    if args.double:
+        jax.config.update("jax_enable_x64", True)
+    # the XLA CPU backend downcasts f32 dots under DEFAULT precision —
+    # without this, every Linear adds ~1e-4 noise and drowns real drift
+    jax.config.update("jax_default_matmul_precision", "highest")
+    tol = args.tol if args.tol is not None else (1e-9 if args.double else 2e-4)
+
+    from imgadapointr_tpu.utils.config import cfg_from_yaml_file
+
+    config = cfg_from_yaml_file(args.config)
+    model_cfg = config.model
+
+    ref = build_reference_model(model_cfg, args.double, kind=args.model)
+    sd = torch_state_numpy(ref)
+
+    import torch
+
+    g = torch.Generator().manual_seed(42)
+    dtype = torch.float64 if args.double else torch.float32
+    x_t = torch.randn(args.batch, args.n_points, 3, generator=g, dtype=dtype)
+    inputs_t = [x_t]
+    inputs_np = [x_t.numpy()]
+    if args.model == "img":
+        img_t = torch.randn(args.batch, 3, 224, 224, generator=g, dtype=dtype)
+        inputs_t.append(img_t)
+        # ours is channels-last
+        inputs_np.append(img_t.numpy().transpose(0, 2, 3, 1))
+
+    import jax.numpy as jnp
+
+    inputs_j = [jnp.asarray(a) for a in inputs_np]
+    spec, variables = convert_and_merge(
+        sd, model_cfg, inputs_j, args.double, kind=args.model
+    )
+
+    print(f"== eval-mode parity ({'fp64' if args.double else 'fp32'}, tol {tol:g}) ==")
+    ret_t, acts_t = run_reference(ref, inputs_t, train=False)
+    ret_j, inter = run_ours(spec, variables, inputs_j, train=False)
+
+    wrapper = inter["core"] if args.model == "img" else inter
+    bm = wrapper["base_model"]
+    report = []
+    ok = True
+    coor_t, f_t = acts_t["grouper"]
+    coor_j, f_j = bm["grouper"]["__call__"][0]
+    ok &= compare("grouper.coor", coor_t, coor_j, tol, report)
+    ok &= compare("grouper.f", f_t, f_j, tol, report)
+    ok &= compare("encoder.out", acts_t["encoder"], bm["encoder"]["__call__"][0], tol, report)
+    if args.model == "img":
+        ok &= compare(
+            "im_encoder", acts_t["im_encoder"],
+            inter["im_encoder"]["__call__"][0], tol, report,
+        )
+        # torch fusion runs seq-first: (N, B, C) -> compare transposed
+        ok &= compare(
+            "img_fusion", acts_t["img_fusion"].transpose(0, 1),
+            bm["img_fusion"]["__call__"][0], tol, report,
+        )
+    q_t, coarse_t, _ = acts_t["base_model"]
+    q_j, coarse_j, _ = bm["__call__"][0]
+    ok &= compare("coarse(after ranking)", coarse_t, coarse_j, tol, report)
+    ok &= compare("decoder.q", q_t, q_j, tol, report)
+    # torch increase_dim output is (B, 1024, M); ours (B, M, 1024)
+    ok &= compare(
+        "increase_dim", acts_t["increase_dim"].transpose(1, 2),
+        wrapper["increase_dim2"]["__call__"][0], tol, report,
+    )
+    ok &= compare("reduce_map", acts_t["reduce_map"], wrapper["reduce_map"]["__call__"][0], tol, report)
+    ok &= compare("decode_head", acts_t["decode_head"], wrapper["decode_head"]["__call__"][0], tol, report)
+    ok &= compare("final.coarse", ret_t[0], ret_j[0], tol, report)
+    ok &= compare("final.fine", ret_t[1], ret_j[1], tol, report)
+
+    golden = {
+        "input": inputs_np[0].astype(np.float32),
+        "ret_coarse": _np(ret_t[0]).astype(np.float32),
+        "ret_fine": _np(ret_t[1]).astype(np.float32),
+        "stage_encoder": _np(acts_t["encoder"]).astype(np.float32),
+        "stage_grouper_f": _np(f_t).astype(np.float32),
+        "stage_q": _np(q_t).astype(np.float32),
+    }
+
+    if args.train:
+        print("== train-mode parity (zero-noise jitter) ==")
+        # deterministic denoise branch: patch both jitter impls to identity
+        from utils import misc as ref_misc  # reference
+
+        orig_jitter = ref_misc.jitter_points
+        ref_misc.jitter_points = lambda pc, **kw: pc
+        from imgadapointr_tpu import ops as our_ops
+
+        orig_ours = our_ops.jitter_points
+        our_ops.jitter_points = lambda key, pc, **kw: pc
+        try:
+            import jax
+
+            ret_t_tr, _ = run_reference(ref, inputs_t, train=True)
+            ret_j_tr, _ = run_ours(
+                spec, variables, inputs_j, train=True, noise_key=jax.random.PRNGKey(7)
+            )
+            for i, nm in enumerate(
+                ("pred_coarse", "denoised_coarse", "denoised_fine", "pred_fine")
+            ):
+                ok &= compare(f"train.{nm}", ret_t_tr[i], ret_j_tr[i], tol, report)
+            golden["train_pred_coarse"] = _np(ret_t_tr[0]).astype(np.float32)
+            golden["train_pred_fine"] = _np(ret_t_tr[3]).astype(np.float32)
+            golden["train_denoised_coarse"] = _np(ret_t_tr[1]).astype(np.float32)
+            golden["train_denoised_fine"] = _np(ret_t_tr[3 - 1]).astype(np.float32)
+        finally:
+            ref_misc.jitter_points = orig_jitter
+            our_ops.jitter_points = orig_ours
+
+    worst = max(report, key=lambda r: r[1])
+    print(f"worst stage: {worst[0]} rel-delta {worst[1]:.3e}")
+    if args.golden and ok:
+        flatp = flatten(to_plain(variables["params"]))
+        for k, v in flatp.items():
+            golden["param//" + "/".join(k)] = np.asarray(v, np.float32)
+        flatbs = flatten(to_plain(variables["batch_stats"]))
+        for k, v in flatbs.items():
+            golden["stats//" + "/".join(k)] = np.asarray(v, np.float32)
+        os.makedirs(os.path.dirname(args.golden), exist_ok=True)
+        np.savez_compressed(args.golden, **golden)
+        print(f"golden written: {args.golden} ({len(golden)} arrays)")
+    if not ok:
+        sys.exit(1)
+    print("PARITY OK")
+
+
+if __name__ == "__main__":
+    main()
