@@ -28,6 +28,24 @@ from .img_adapointr import variable_alpha
 from .losses import adapointr_loss
 
 
+def _scrambled_normals(coor):
+    """Normals exactly as the reference pipeline feeds them to GDANet.
+
+    The reference passes ``norm_plt`` of shape (B, N, 3) into GDANet, whose
+    ``local_operator_withnorm`` does ``norm_plt.view(B, -1, N)`` — a MEMORY
+    REINTERPRETATION of the (N, 3) buffer as (3, N), not a transpose
+    (reference models/internal/pctransformer.py:176-177 +
+    models/segmentation/GDANet_util.py:46-47). The net effect is channel-
+    scrambled normals. We replicate it faithfully: the activation-parity
+    harness (parity/run_parity_gdanet.py) shows bit-level agreement only
+    with this quirk, and any converted reference checkpoint's behaviour
+    depends on it.
+    """
+    normals = estimate_pointcloud_normals(coor, 30)
+    B, N, _ = normals.shape
+    return normals.reshape(B, 3, N).transpose(0, 2, 1)
+
+
 class SegEncAdaPoinTrModel(nn.Module):
     """seg_before_enc: GDANet features fused into encoder tokens."""
 
@@ -40,8 +58,7 @@ class SegEncAdaPoinTrModel(nn.Module):
         def seg_fn(coor, cls):
             # frozen usage: normals (k=30, no direction disambiguation) →
             # GDANet 128-d feature tap (reference pctransformer.py:176-179)
-            normals = estimate_pointcloud_normals(coor, 30)
-            feat, _ = gdanet(coor, normals, cls, deterministic=True)
+            feat, _ = gdanet(coor, _scrambled_normals(coor), cls, deterministic=True)
             return feat
 
         return AdaPoinTrBase(self.config, name="core")(
@@ -70,8 +87,7 @@ class ImgEncSegDecAdaPoinTrModel(nn.Module):
 
         def seg_fn(coor, cls):
             coor = jax.lax.optimization_barrier(coor)
-            normals = estimate_pointcloud_normals(coor, 30)
-            feat, _ = gdanet(coor, normals, cls, deterministic=True)
+            feat, _ = gdanet(coor, _scrambled_normals(coor), cls, deterministic=True)
             return jax.lax.optimization_barrier(feat)
 
         return AdaPoinTrBase(self.config, name="core")(

@@ -429,6 +429,56 @@ def convert_img_adapointr(torch_state: Dict[str, np.ndarray], config) -> dict:
     return res
 
 
+def convert_seg_adapointr(torch_state: Dict[str, np.ndarray], config,
+                          with_img: bool = False) -> dict:
+    """Reference SegEncAdaPoinTr / ImgEncSegDecAdaPoinTrVariableLoss →
+    the Seg model trees: AdaPoinTr core under ``core``, frozen GDANet under
+    ``segmentator``, seg fusion stack (get_better_seg_size + 5× MHA +
+    5× LayerNorm) under ``core/base_model/seg_fusion``; with_img adds the
+    ResNet18 + img fusion subtrees."""
+    res = convert_adapointr(torch_state, config, prefix=("core",))
+    params, stats, missing = res["params"], res["batch_stats"], res["missing"]
+    sd = torch_state
+
+    seg_sd = {
+        k[len("base_model.segmentator."):]: v
+        for k, v in sd.items()
+        if k.startswith("base_model.segmentator.")
+    }
+    g = convert_gdanet(seg_sd)
+    params["segmentator"] = g["params"]
+    stats["segmentator"] = g["batch_stats"]
+    missing.extend(f"base_model.segmentator.{m}" for m in g["missing"])
+
+    fus = ("core", "base_model", "seg_fusion")
+    w = sd.get("base_model.get_better_seg_size.0.weight")
+    if w is None:
+        missing.append("base_model.get_better_seg_size.0.weight")
+    else:
+        _put(params, fus + ("proj", "kernel"), t(w))
+        _put(params, fus + ("proj", "bias"),
+             sd["base_model.get_better_seg_size.0.bias"])
+    _convert_fusion_stack(sd, params, missing, "base_model", "seg",
+                          fus + ("fusion",))
+
+    if with_img:
+        _convert_resnet_trunk(
+            sd, params, stats, missing, "base_model.im_encoder.base",
+            ("im_encoder", "trunk"), stage_sizes=(2, 2, 2, 2), num_stages=3,
+        )
+        ifus = ("core", "base_model", "img_fusion")
+        w = sd.get("base_model.get_better_img_size.0.weight")
+        if w is None:
+            missing.append("base_model.get_better_img_size.0.weight")
+        else:
+            _put(params, ifus + ("proj", "kernel"), t(w))
+            _put(params, ifus + ("proj", "bias"),
+                 sd["base_model.get_better_img_size.0.bias"])
+        _convert_fusion_stack(sd, params, missing, "base_model", "img",
+                              ifus + ("fusion",))
+    return res
+
+
 def load_torch_state(path: str) -> Dict[str, np.ndarray]:
     """Load a torch checkpoint file into numpy arrays (CPU torch)."""
     import torch

@@ -74,6 +74,8 @@ def build_reference_model(model_cfg, double, kind="adapointr"):
         from models.internal.ImgResNetEncAdaPoinTrVariableLoss import (
             ImgResNetEncAdaPoinTrVariableLoss as RefModel,
         )
+    elif kind == "seg":
+        from models.internal.SegEncAdaPoinTr import SegEncAdaPoinTr as RefModel
     else:
         from models.external.AdaPoinTr import AdaPoinTr as RefModel
 
@@ -111,7 +113,12 @@ def convert_and_merge(sd, model_cfg, examples, double, kind="adapointr"):
         convert_img_adapointr,
     )
 
-    convert = convert_img_adapointr if kind == "img" else convert_adapointr
+    from imgadapointr_tpu.tools.convert_torch import convert_seg_adapointr
+
+    convert = {
+        "img": convert_img_adapointr,
+        "seg": convert_seg_adapointr,
+    }.get(kind, convert_adapointr)
     res = convert(sd, model_cfg)
     assert not res["missing"], f"torch keys not found: {res['missing'][:10]}"
 
@@ -172,6 +179,13 @@ def run_reference(ref, inputs_t, train=False):
         handles.append(
             ref.base_model.layer_norm_img5.register_forward_hook(hook("img_fusion"))
         )
+    if hasattr(ref.base_model, "segmentator"):
+        handles.append(
+            ref.base_model.segmentator.register_forward_hook(hook("segmentator"))
+        )
+        handles.append(
+            ref.base_model.layer_norm_seg5.register_forward_hook(hook("seg_fusion"))
+        )
     ref.train(train)
     with torch.no_grad():
         ret = ref(*inputs_t)
@@ -221,7 +235,7 @@ def compare(name, a, b, tol, report):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="cfgs/PCN_models/AdaPoinTr-tiny.yaml")
-    ap.add_argument("--model", choices=["adapointr", "img"], default="adapointr")
+    ap.add_argument("--model", choices=["adapointr", "img", "seg"], default="adapointr")
     ap.add_argument("--double", action="store_true", help="fp64 on both sides")
     ap.add_argument("--train", action="store_true", help="also check train mode")
     ap.add_argument("--golden", default=None, help="write golden npz here")
@@ -260,6 +274,24 @@ def main():
         inputs_t.append(img_t)
         # ours is channels-last
         inputs_np.append(img_t.numpy().transpose(0, 2, 3, 1))
+    if args.model == "seg":
+        # torch signature is (xyz, img, cls_vec) — img is ignored
+        cls_t = torch.zeros(args.batch, 16, dtype=dtype)
+        cls_t[:, 3] = 1.0
+        inputs_t.extend([torch.zeros(args.batch, 1, dtype=dtype), cls_t])
+        inputs_np.append(cls_t.numpy())
+        # the torch GDANet defaults to device='cuda' for its arange/eye calls
+        ref.base_model.segmentator.device = "cpu"
+        # eigenvector SIGNS are solver-convention-dependent (pytorch3d runs
+        # disambiguate_directions=False); inject the reference's normals into
+        # our seg path so the comparison isolates real semantic drift. The
+        # scrambled-view quirk itself is replicated in models/seg_adapointr.
+        captured = {}
+
+        def grab_norm(mod, inp):
+            captured["norm"] = inp[1].detach().numpy()
+
+        ref.base_model.segmentator.register_forward_pre_hook(grab_norm)
 
     import jax.numpy as jnp
 
@@ -270,9 +302,15 @@ def main():
 
     print(f"== eval-mode parity ({'fp64' if args.double else 'fp32'}, tol {tol:g}) ==")
     ret_t, acts_t = run_reference(ref, inputs_t, train=False)
+    if args.model == "seg":
+        # replace our normal estimation with the reference's captured normals
+        import imgadapointr_tpu.models.seg_adapointr as seg_mod
+
+        norm_const = jnp.asarray(captured["norm"])
+        seg_mod.estimate_pointcloud_normals = lambda coor, k: norm_const
     ret_j, inter = run_ours(spec, variables, inputs_j, train=False)
 
-    wrapper = inter["core"] if args.model == "img" else inter
+    wrapper = inter["core"] if args.model in ("img", "seg") else inter
     bm = wrapper["base_model"]
     report = []
     ok = True
@@ -290,6 +328,16 @@ def main():
         ok &= compare(
             "img_fusion", acts_t["img_fusion"].transpose(0, 1),
             bm["img_fusion"]["__call__"][0], tol, report,
+        )
+    if args.model == "seg":
+        # torch tap is (B, 128, N); ours (B, N, 128)
+        ok &= compare(
+            "gdanet.tap", acts_t["segmentator"][0].transpose(1, 2),
+            inter["segmentator"]["__call__"][0][0], tol, report,
+        )
+        ok &= compare(
+            "seg_fusion", acts_t["seg_fusion"].transpose(0, 1),
+            bm["seg_fusion"]["__call__"][0], tol, report,
         )
     q_t, coarse_t, _ = acts_t["base_model"]
     q_j, coarse_j, _ = bm["__call__"][0]
