@@ -7,17 +7,20 @@ equal-sized clouds; returns per-point squared assignment distances (the
 metric then takes ``mean(sqrt(dist))``, utils/metrics.py:112-116) and the
 assignment indices. Gradient flows to ``xyz1`` only (matching the CUDA op).
 
-Design: a fixed-iteration ``lax.scan`` auction. Each step every unassigned
-bidder bids ``price[best] + (v1 - v2) + eps`` on its best item; items accept
-the highest bid (deterministic scatter-max with index tie-break, replacing
-the CUDA kernel's atomic races). Bidders left unassigned when iterations run
-out are greedily matched to their cheapest item (the CUDA version leaves
-them at the last partial state; both are approximations controlled by
-``iterations``). EMD is an eval-time metric (tools/runner.py:522-621), so
-throughput matters less than determinism.
+Design — O(N·tile) memory like the CUDA kernel (its header: "memory
+complexity: O(n)"): the N×N cost matrix is NEVER materialised. Each auction
+iteration scans the items in tiles, computing ``value_ij = -|x_i - y_j|² -
+price_j`` on the fly (the -2x·y term is an MXU matmul at HIGHEST precision)
+while keeping a running (best, second-best, argbest) per bidder. Item-side
+acceptance is a deterministic scatter-max with lowest-bidder-index
+tie-break, replacing the CUDA kernel's atomic races. Only unassigned
+bidders bid (CUDA parity); bidders still unassigned when iterations run out
+are greedily matched to their nearest item (the CUDA version leaves them
+at the last partial state — both are approximations controlled by
+``iterations``; ours is uniformly closer to the true EMD).
 
-Memory: the N×N cost matrix is materialised per sample (1 GB at N=16384
-fp32); evaluation runs at batch 1 like the reference.
+At the test protocol's N=16384 (eps .005, 100 iters, tools/runner.py) peak
+temp memory is N·tile·4B ≈ 128 MB instead of the 1 GB dense matrix.
 """
 
 from __future__ import annotations
@@ -27,52 +30,115 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .pointops import square_distance
+_TILE = 2048  # items per inner scan step; peak temp = N * _TILE floats
 
 
-def _auction_single(C: jax.Array, eps: float, iterations: int):
-    """Auction assignment for one sample. C: (N, N) bidder→item cost."""
-    N = C.shape[0]
+def _pad_items(y: jax.Array, tile: int):
+    """Pad the item cloud to a tile multiple with a far sentinel: padded
+    items have hugely negative value and can never win a bid."""
+    m = y.shape[0]
+    pad = (-m) % tile
+    if pad:
+        y = jnp.pad(y, ((0, pad), (0, 0)), constant_values=1e6)
+    return y, m
+
+
+def _tiled_top2(x32, xsq, y_tiles, ysq_tiles, bases, price_tiles):
+    """Per bidder: (best_value, second_value, best_item) of
+    value_ij = -|x_i - y_j|^2 - price_j, scanning items in tiles."""
+    N = x32.shape[0]
+    neg = jnp.float32(-1e30)
+
+    def step(carry, inp):
+        best, second, best_i = carry
+        yt, yts, pt, base = inp  # (tile, 3), (tile,), (tile,), ()
+        # HIGHEST precision: assignment quality hinges on small distance
+        # differences that bf16 matmuls would wash out.
+        d = (
+            xsq[:, None]
+            - 2.0
+            * jnp.einsum(
+                "nc,tc->nt", x32, yt,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            + yts[None, :]
+        )
+        v = -d - pt[None, :]  # (N, tile)
+        t2, t2i = jax.lax.top_k(v, 2)
+        c1, c2 = t2[:, 0], t2[:, 1]
+        c1i = t2i[:, 0].astype(jnp.int32) + base
+        upd = c1 > best
+        second = jnp.where(upd, jnp.maximum(best, c2), jnp.maximum(second, c1))
+        best = jnp.where(upd, c1, best)
+        best_i = jnp.where(upd, c1i, best_i)
+        return (best, second, best_i), None
+
+    init = (
+        jnp.full((N,), neg), jnp.full((N,), neg), jnp.zeros((N,), jnp.int32)
+    )
+    (best, second, best_i), _ = jax.lax.scan(
+        step, init, (y_tiles, ysq_tiles, price_tiles, bases)
+    )
+    return best, second, best_i
+
+
+def _auction_single(x: jax.Array, y: jax.Array, eps: float, iterations: int,
+                    tile: int = _TILE):
+    """Auction assignment for one sample; x (N, 3) bidders, y (M, 3) items."""
+    N = x.shape[0]
+    tile = min(tile, max(y.shape[0], 1))
+    y_pad, M = _pad_items(y, tile)
+    Mp = y_pad.shape[0]
+    T = Mp // tile
     big = jnp.float32(1e9)
     idx = jnp.arange(N, dtype=jnp.int32)
 
+    x32 = x.astype(jnp.float32)
+    xsq = jnp.sum(x32 * x32, axis=-1)
+    y_tiles = y_pad.astype(jnp.float32).reshape(T, tile, 3)
+    ysq_tiles = jnp.sum(y_tiles * y_tiles, axis=-1)
+    bases = jnp.arange(T, dtype=jnp.int32) * tile
+
     def step(carry, _):
-        price, assign = carry  # price (N,) per item; assign (N,) bidder→item, -1 = none
-        value = -C - price[None, :]  # (N bidders, N items)
-        top2, top2i = jax.lax.top_k(value, 2)
-        best_item = top2i[:, 0].astype(jnp.int32)
-        bid = price[best_item] + (top2[:, 0] - top2[:, 1]) + eps
+        price, assign = carry  # price (Mp,) per item; assign (N,) bidder→item, -1 = none
+        best, second, best_item = _tiled_top2(
+            x32, xsq, y_tiles, ysq_tiles, bases, price.reshape(T, tile)
+        )
+        bid = price[best_item] + (best - second) + eps
 
         unassigned = assign < 0
         # deterministic winner per item: scatter-max of bids, then lowest
         # bidder index among max-bidders breaks ties
-        item_best_bid = jnp.full((N,), -big).at[best_item].max(
+        item_best_bid = jnp.full((Mp,), -big).at[best_item].max(
             jnp.where(unassigned, bid, -big)
         )
-        is_winner = unassigned & (bid >= item_best_bid[best_item] - 0.0)
-        # tie-break: among winners of the same item keep the smallest bidder idx
+        is_winner = unassigned & (bid >= item_best_bid[best_item])
         winner_rank = jnp.where(is_winner, idx, N)
-        item_winner = jnp.full((N,), N, jnp.int32).at[best_item].min(winner_rank)
+        item_winner = jnp.full((Mp,), N, jnp.int32).at[best_item].min(winner_rank)
         won = is_winner & (item_winner[best_item] == idx)
 
         # evict previous owner of items that just sold
-        sold_item_of = jnp.where(won, best_item, N)  # per bidder
-        sold = jnp.zeros((N + 1,), bool).at[sold_item_of].set(True)[:N]
-        evicted = sold[jnp.clip(assign, 0, N - 1)] & (assign >= 0)
+        sold_item_of = jnp.where(won, best_item, Mp)  # per bidder
+        sold = jnp.zeros((Mp + 1,), bool).at[sold_item_of].set(True)[:Mp]
+        evicted = sold[jnp.clip(assign, 0, Mp - 1)] & (assign >= 0)
         assign = jnp.where(evicted, -1, assign)
         assign = jnp.where(won, best_item, assign)
         price = jnp.where(sold, item_best_bid, price)
         return (price, assign), None
 
-    price0 = jnp.zeros((N,), jnp.float32)
+    price0 = jnp.zeros((Mp,), jnp.float32)
     assign0 = jnp.full((N,), -1, jnp.int32)
     (price, assign), _ = jax.lax.scan(
         step, (price0, assign0), None, length=iterations
     )
-    # greedy fallback for bidders still unassigned when iterations ran out
-    fallback = jnp.argmin(C, axis=1).astype(jnp.int32)
-    assign = jnp.where(assign < 0, fallback, assign)
-    return assign
+    # greedy fallback for bidders still unassigned when iterations ran out:
+    # nearest item = tiled top-2 at zero price
+    _, _, nearest = _tiled_top2(
+        x32, xsq, y_tiles, ysq_tiles, bases, jnp.zeros((T, tile), jnp.float32)
+    )
+    assign = jnp.where(assign < 0, nearest, assign)
+    return jnp.minimum(assign, M - 1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -83,10 +149,11 @@ def emd_auction(xyz1: jax.Array, xyz2: jax.Array, eps: float = 0.005, iterations
 
 
 def _emd_forward(xyz1, xyz2, eps, iterations):
-    C = square_distance(xyz1, xyz2)  # (B, N, N)
-    assign = jax.vmap(lambda c: _auction_single(c, eps, iterations))(C)
+    assign = jax.vmap(
+        lambda a, b: _auction_single(a, b, eps, iterations)
+    )(xyz1, xyz2)
     matched = jnp.take_along_axis(xyz2, assign[..., None], axis=1)
-    dist = jnp.sum((xyz1 - matched) ** 2, axis=-1)
+    dist = jnp.sum((xyz1.astype(jnp.float32) - matched.astype(jnp.float32)) ** 2, axis=-1)
     return dist, assign
 
 

@@ -29,6 +29,65 @@ def test_emd_auction_near_optimal():
     assert ours >= optimal - 1e-6
 
 
+@pytest.mark.parametrize("n", [1024, 2048])
+def test_emd_auction_protocol_knobs(n):
+    """EMD at the TEST protocol's knobs (eps .005, 100 iters — reference
+    utils/metrics.py:112-116) vs scipy Hungarian at realistic sizes. The
+    CUDA reference is itself an approximation at these knobs (its docstring:
+    'the result is an approximation'); the metric is mean(sqrt(dist)), so
+    the tolerance is on that quantity. Also exercises the tiled item scan
+    (n > _TILE for n=2048) and unit-cube normalisation, the regime the CUDA
+    kernel documents ('normalized to [0, 1]')."""
+    from scipy.optimize import linear_sum_assignment
+
+    from imgadapointr_tpu.ops import emd_auction
+
+    rng = np.random.RandomState(1)
+    x = rng.rand(1, n, 3).astype(np.float32)
+    y = rng.rand(1, n, 3).astype(np.float32)
+    dist, assign = emd_auction(jnp.asarray(x), jnp.asarray(y), eps=0.005, iterations=100)
+    ours_sq = float(jnp.sum(dist))
+
+    C = ((x[0][:, None].astype(np.float64) - y[0][None]) ** 2).sum(-1)
+    ri, ci = linear_sum_assignment(C)
+    optimal_sq = float(C[ri, ci].sum())
+    # dist must be consistent with the returned assignment (the reference's
+    # own self-verification, emd_module.py:88-95)
+    matched = y[0][np.asarray(assign)[0]]
+    recomputed = np.sqrt(((x[0] - matched) ** 2).sum(-1)).mean()
+    np.testing.assert_allclose(float(np.mean(np.sqrt(np.asarray(dist)[0]))),
+                               recomputed, rtol=1e-5)
+    # At protocol knobs the assignment is NOT guaranteed bijective (the CUDA
+    # reference documents the same, emd_module.py:19) — ~1% of bidders take
+    # already-owned items via the greedy fallback, so the Hungarian optimum
+    # is not a strict lower bound. Assert a tight band around it plus
+    # near-bijectivity.
+    uniq = len(np.unique(np.asarray(assign)[0]))
+    assert uniq >= 0.97 * n, f"assignment far from bijective: {uniq}/{n}"
+    assert 0.9 * optimal_sq <= ours_sq <= optimal_sq * 1.25, (ours_sq, optimal_sq)
+
+
+def test_emd_auction_convergent_regime_is_bijective_and_bounded():
+    """With enough iterations the auction converges: fully bijective and
+    the sum-of-squared objective within eps-bound of the Hungarian optimum
+    (then the optimum IS a valid lower bound)."""
+    from scipy.optimize import linear_sum_assignment
+
+    from imgadapointr_tpu.ops import emd_auction
+
+    n = 512
+    rng = np.random.RandomState(2)
+    x = rng.rand(1, n, 3).astype(np.float32)
+    y = rng.rand(1, n, 3).astype(np.float32)
+    dist, assign = emd_auction(jnp.asarray(x), jnp.asarray(y), eps=0.002, iterations=1500)
+    assert len(np.unique(np.asarray(assign)[0])) == n  # bijection
+    ours_sq = float(jnp.sum(dist))
+    C = ((x[0][:, None].astype(np.float64) - y[0][None]) ** 2).sum(-1)
+    ri, ci = linear_sum_assignment(C)
+    optimal_sq = float(C[ri, ci].sum())
+    assert optimal_sq - 1e-6 <= ours_sq <= optimal_sq + n * 0.002 * 2, (ours_sq, optimal_sq)
+
+
 class _FakeLoader:
     """Single-category loader yielding gt-only batches for protocol tests."""
 
