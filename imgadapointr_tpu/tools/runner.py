@@ -50,7 +50,10 @@ class Runner:
         # 150-185): ShapeNet-55/34 trains on random crops of the gt; CARS
         # (KITTI finetune) randomly drops points from the partial.
         train_cfg = config.dataset.get("train") if config.get("dataset") else None
-        base = train_cfg.get("_base_") if train_cfg else None
+        # our config system flattens `_base_` includes into the split dict
+        # (utils/config.py:66-78), unlike the reference which nests them —
+        # accept both so hand-built test configs with a literal _base_ work
+        base = (train_cfg.get("_base_") or train_cfg) if train_cfg else None
         name = base.get("NAME", "") if base else ""
         self.shapenet_train_crop = "ShapeNet" in name and "PCN" not in name
         self.cars_dropping = bool(base.get("CARS", False)) if base else False

@@ -1,0 +1,67 @@
+"""Config-tree health: every shipped YAML loads, and the train-time
+augmentation branches (ShapeNet-55 crop, CARS dropping) are reachable from
+configs alone (reference tools/runner.py:139-181 reads
+config.dataset.train._base_; our config system flattens the include)."""
+
+import glob
+import os
+import types
+
+import pytest
+
+from imgadapointr_tpu.utils.config import cfg_from_yaml_file
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load(rel):
+    return cfg_from_yaml_file(os.path.join(REPO, rel), root=REPO)
+
+
+def test_all_configs_load():
+    paths = glob.glob(os.path.join(REPO, "cfgs", "*_models", "*.yaml"))
+    assert len(paths) >= 16
+    for p in paths:
+        cfg = cfg_from_yaml_file(p, root=REPO)
+        assert "model" in cfg and "NAME" in cfg.model, p
+        if "dataset" in cfg:
+            for split in cfg.dataset.values():
+                assert "NAME" in split, p  # _base_ include resolved
+
+
+def _runner_for(rel):
+    from imgadapointr_tpu.tools.runner import Runner
+
+    cfg = _load(rel)
+    args = types.SimpleNamespace(tp=1)
+    return Runner(args, cfg)
+
+
+def test_shapenet55_config_enables_train_crop():
+    r = _runner_for("cfgs/ShapeNet55_models/AdaPoinTr.yaml")
+    assert r.shapenet_train_crop
+    assert not r.cars_dropping
+    assert r.train_npoints == 8192
+
+
+def test_kitti_config_enables_cars_dropping():
+    r = _runner_for("cfgs/KITTI_models/AdaPoinTr.yaml")
+    assert r.cars_dropping
+    assert not r.shapenet_train_crop
+
+
+def test_pcn_config_enables_neither():
+    r = _runner_for("cfgs/PCN_models/AdaPoinTr.yaml")
+    assert not r.shapenet_train_crop
+    assert not r.cars_dropping
+
+
+def test_dataset_config_fields_match_dataset_classes():
+    sn = _load("cfgs/dataset_configs/ShapeNet55.yaml")
+    for k in ("DATA_PATH", "PC_PATH", "N_POINTS"):
+        assert k in sn
+    kitti = _load("cfgs/dataset_configs/KITTI.yaml")
+    for k in ("CLOUD_PATH", "BBOX_PATH", "CATEGORY_FILE_PATH"):
+        assert k in kitti
+    cars = _load("cfgs/dataset_configs/PCNCars.yaml")
+    assert cars.CARS is True

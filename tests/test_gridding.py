@@ -8,6 +8,7 @@ from imgadapointr_tpu.ops import emd_auction
 from imgadapointr_tpu.ops.gridding import (
     cubic_feature_sampling,
     gridding,
+    gridding_distance,
     gridding_loss,
     gridding_reverse,
 )
@@ -101,6 +102,87 @@ def test_gridding_loss_zero_for_identical():
     assert abs(l) < 1e-6
     l2 = float(gridding_loss(pts, pts + 0.2, [8], [1.0]))
     assert l2 > 1e-4
+
+
+def np_gridding_loss(pred, gt, scales, alphas):
+    """Numpy reference of the full GriddingLoss semantics
+    (extensions/gridding_loss/__init__.py:42-114 + gridding_distance.cu):
+    joint dynamic bbox over both clouds and the batch (padded zeros
+    included), per-sample zero-row strip, 8-corner-slot grids, L1 mean."""
+    total = 0.0
+    B = pred.shape[0]
+    for scale, alpha in zip(scales, alphas):
+        p = pred * scale / 2.0
+        g = gt * scale / 2.0
+        allpts = np.concatenate([p, g], axis=1)
+        mn = np.floor(allpts.min(axis=(0, 1))) - 1
+        mx = np.ceil(allpts.max(axis=(0, 1))) + 1
+        lens = (mx - mn + 1).astype(int)
+        nvert = int(np.prod(lens))
+
+        def raster(cloud, raw):
+            grid = np.zeros((B, nvert, 8), np.float64)
+            for b in range(B):
+                for i in range(cloud.shape[1]):
+                    if np.abs(raw[b, i]).sum() == 0:
+                        continue  # __init__.py:84-87 strips zero rows
+                    pt = cloud[b, i]
+                    lo = np.floor(pt).astype(int)
+                    up = np.ceil(pt).astype(int)
+                    up[up == lo] += 1  # gridding_distance.cu:54-68
+                    slot = 0
+                    for cx in (lo[0], up[0]):
+                        for cy in (lo[1], up[1]):
+                            for cz in (lo[2], up[2]):
+                                w = (
+                                    (1 - abs(pt[0] - cx))
+                                    * (1 - abs(pt[1] - cy))
+                                    * (1 - abs(pt[2] - cz))
+                                )
+                                ox, oy, oz = (
+                                    cx - int(mn[0]), cy - int(mn[1]), cz - int(mn[2])
+                                )
+                                v = (ox * lens[1] + oy) * lens[2] + oz
+                                grid[b, v, slot] += w
+                                slot += 1
+            return grid
+
+        pg = raster(p, pred)
+        gg = raster(g, gt)
+        total += alpha * np.abs(pg - gg).mean()
+    return total
+
+
+def test_gridding_loss_matches_reference_dynamic_bbox():
+    """Exact match vs the torch semantics, for clouds inside, straddling,
+    and entirely OUTSIDE [-1,1] (the dynamic grid follows the cloud)."""
+    rng = np.random.RandomState(3)
+    base = (rng.rand(2, 24, 3) - 0.5).astype(np.float32)
+    for shift, span in [(0.0, 2.0), (0.45, 2.0), (1.3, 4.0)]:
+        pred = base + shift
+        gt = (rng.rand(2, 40, 3).astype(np.float32) - 0.5) * 0.9 + shift
+        got = 0.0
+        for s, a in [(4, 0.7), (8, 0.3)]:
+            pg, gg, n = gridding_distance(
+                jnp.asarray(pred), jnp.asarray(gt), s, span=span
+            )
+            got += float(a * jnp.sum(jnp.abs(pg - gg)) / jnp.maximum(n, 1.0))
+        want = np_gridding_loss(
+            pred.astype(np.float64), gt.astype(np.float64), [4, 8], [0.7, 0.3]
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-5, err_msg=f"shift={shift}")
+
+
+def test_gridding_loss_zero_padded_rows_widen_bbox():
+    """Padded zero rows are stripped from the scatter but still widen the
+    reference bbox (min/max run before the strip) — the mean must match."""
+    rng = np.random.RandomState(4)
+    pred = rng.rand(1, 16, 3).astype(np.float32) * 0.4 + 0.5  # in [0.5, 0.9]
+    pred[0, -4:] = 0.0  # padded rows pull the bbox down to the origin
+    gt = rng.rand(1, 20, 3).astype(np.float32) * 0.4 + 0.5
+    got = float(gridding_loss(pred, gt, [8], [1.0]))
+    want = np_gridding_loss(pred.astype(np.float64), gt.astype(np.float64), [8], [1.0])
+    np.testing.assert_allclose(got, want, rtol=2e-5)
 
 
 class TestEMD:
