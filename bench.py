@@ -15,7 +15,9 @@ sustain low single-digit percent of an A100's 156 TFLOP/s tf32 peak. At an
 effective ~5.2 TFLOP/s (3.3% of peak — generous for an unfused eval loop)
 that is 150 completions/s: A100_EST_COMPLETIONS_PER_S. The independently
 *measured* self-baseline (this repo before its Pallas kernels, same chip)
-is 214/s and is reported alongside as ``vs_self_baseline``.
+was 214/s under the old per-step-fetch protocol; adjusted for the ~35 ms
+tunnel round-trip that protocol paid per step (bs 32: 32/214 s - 35 ms →
+~280/s of pure device time), it anchors ``vs_self_baseline``.
 """
 
 import json
@@ -31,18 +33,21 @@ import numpy as np
 # docstring + benchmarks/RESULTS.md "Baseline derivation".
 A100_EST_COMPLETIONS_PER_S = 150.0
 # Measured on the same v5e chip at the same bench point, this repo at commit
-# ca027fb (pure-XLA ops, before the Pallas FPS/kNN/chamfer kernels).
-SELF_BASELINE_COMPLETIONS_PER_S = 214.0
+# ca027fb (pure-XLA ops, before the Pallas FPS/kNN/chamfer kernels):
+# 214/s under the old sync protocol = ~280/s of device time after removing
+# the per-step tunnel round-trip that protocol paid (see docstring).
+SELF_BASELINE_COMPLETIONS_PER_S = 280.0
 
-BATCH = 64  # best-throughput batch on v5e (32: 395/s, 64: 434/s, 128: 412/s)
+BATCH = 32  # best-throughput batch on v5e under the pipelined protocol
+# (32: 597/s, 64: 533/s, 128: 464/s — measured round 2)
 N_PARTIAL = 2048
 N_OUT = 8192
 WARMUP = 3
-ITERS = 10
+ITERS = 20
 
 TRAIN_BATCH = 16  # paper recipe: total_bs 16, 16384 gt points
 TRAIN_N_OUT = 16384
-TRAIN_ITERS = 5
+TRAIN_ITERS = 20
 
 
 def model_config(n_out=N_OUT):
@@ -92,20 +97,26 @@ def bench_eval():
         lambda k, x: model.init({"params": k, "noise": k}, x, train=False)
     )(key, xyz)
 
-    # reduce on-device and fetch a scalar: block_until_ready alone does not
-    # reliably fence execution over the remote-TPU tunnel
-    fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
-    checksum = jax.jit(lambda v, x: fwd(v, x)[1].sum())
-    coarse, fine = fwd(variables, xyz)
-    jax.block_until_ready(fine)
-    compile_s = time.time() - t0
-    assert fine.shape == (BATCH, N_OUT, 3), fine.shape
+    # Pipelined steady-state protocol: dispatch ITERS steps chained through
+    # an on-device scalar accumulator, fence ONCE at the end. A per-step
+    # float() fetch adds a ~35 ms host round-trip over the remote-TPU
+    # tunnel (measured: trivial scalar fetch = 35.6 ms) that a production
+    # training/serving loop never pays — the device executes dispatched
+    # steps back to back.
+    import jax.numpy as jnp
 
+    step = jax.jit(lambda v, x, s: s + model.apply(v, x, train=False)[1].sum())
+    acc = step(variables, xyz, jnp.float32(0))
+    jax.block_until_ready(acc)
+    compile_s = time.time() - t0
     for _ in range(WARMUP):
-        float(checksum(variables, xyz))
+        acc = step(variables, xyz, acc)
+    float(acc)
     t0 = time.time()
+    acc = jnp.float32(0)
     for _ in range(ITERS):
-        float(checksum(variables, xyz))
+        acc = step(variables, xyz, acc)
+    float(acc)
     dt = (time.time() - t0) / ITERS
     return BATCH / dt, dt, compile_s
 
@@ -155,6 +166,7 @@ def bench_train():
     for _ in range(2):
         params, opt_state, bs, loss = jstep(params, opt_state, bs, partial, gt)
     float(loss)
+    # steady state: steps chain through the donated state; fence once
     t0 = time.time()
     for _ in range(TRAIN_ITERS):
         params, opt_state, bs, loss = jstep(params, opt_state, bs, partial, gt)

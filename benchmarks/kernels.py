@@ -84,13 +84,69 @@ def main():
     print(f"  knn k=8: idx match={km:.4f}")
     ok &= km == 1.0
 
-    print("== speed ==")
+    print("== bidirectional argmin kernels (packed-index; near-tie band) ==")
+    from imgadapointr_tpu.ops.pallas.nn_distance import (
+        nn_argmin_bidir_mxu,
+        nn_argmin_bidir_pallas,
+    )
+
+    for B, N, M in [(4, 4096, 4096), (2, 576, 4096)]:
+        x = jax.random.normal(key, (B, N, 3))
+        y = jax.random.normal(jax.random.PRNGKey(2), (B, M, 3))
+        _, i1_ref = nn_one_direction_pallas(x, y)
+        _, i2_ref = nn_one_direction_pallas(y, x)
+        for name, fn, band in [
+            ("vpu", nn_argmin_bidir_pallas, 3e-3),
+            ("mxu", nn_argmin_bidir_mxu, 1e-1),
+        ]:
+            i1, i2 = fn(x, y)
+            xn, yn = np.asarray(x, np.float64), np.asarray(y, np.float64)
+
+            def dsel(q, r, idx):
+                g = np.take_along_axis(r, np.asarray(idx)[..., None], axis=1)
+                return ((q - g) ** 2).sum(-1)
+
+            # mismatched argmins must still be near-ties: the selected
+            # distance within the quantization band of the true minimum
+            gap1 = dsel(xn, yn, i1) - dsel(xn, yn, i1_ref)
+            gap2 = dsel(yn, xn, i2) - dsel(yn, xn, i2_ref)
+            rel = max(
+                float((gap1 / np.maximum(dsel(xn, yn, i1_ref), 1e-9)).max()),
+                float((gap2 / np.maximum(dsel(yn, xn, i2_ref), 1e-9)).max()),
+            )
+            m = min(
+                float((np.asarray(i1) == np.asarray(i1_ref)).mean()),
+                float((np.asarray(i2) == np.asarray(i2_ref)).mean()),
+            )
+            status = "OK" if (m > 0.99 and rel < band) else "FAIL"
+            ok &= m > 0.99 and rel < band
+            print(f"  bidir-{name} B={B} N={N} M={M}: idx={m:.5f} band={rel:.1e} [{status}]")
+
+    # identical clouds: selected distance must collapse to ~0 (exact
+    # recompute path) — the bf16-sensitivity probe from CLAUDE.md
+    xi = jax.random.normal(key, (2, 4096, 3))
+    same = float(ops.chamfer_l1(xi, xi))
+    print(f"  chamfer(identical) = {same:.1e}")
+    ok &= same < 1e-5
+
+    print("== speed (pipelined: N dispatches, one fence — no tunnel RTT) ==")
+
+    def piped(name, f, *args, iters=20):
+        s = f(*args, jnp.float32(0))
+        jax.block_until_ready(s)
+        t = time.time()
+        s = jnp.float32(0)
+        for _ in range(iters):
+            s = f(*args, s)
+        float(s)
+        print(f"  {name}: {(time.time() - t) / iters * 1000:.1f} ms")
+
     x = jax.random.normal(key, (32, 2048, 3))
-    timeit("fps 2048->512 B32 (pallas)", jax.jit(lambda x: jnp.sum(ops.fps(x, 512))), x)
-    timeit("knn k16 2048 B32 (pallas)", jax.jit(lambda x: jnp.sum(ops.knn_point(16, x, x))), x)
+    piped("fps 2048->512 B32 (pallas)", jax.jit(lambda x, s: s + jnp.sum(ops.fps(x, 512))), x)
+    piped("knn k16 2048 B32 (pallas)", jax.jit(lambda x, s: s + jnp.sum(ops.knn_point(16, x, x)).astype(jnp.float32)), x)
     xg = jax.random.normal(key, (64, 16384, 3))
     yg = jax.random.normal(key, (64, 16384, 3))
-    timeit("chamfer_l1 64x16384^2 fwd (pallas)", jax.jit(lambda a, b: ops.chamfer_l1(a, b)), xg, yg)
+    piped("chamfer_l1 64x16384^2 fwd (pallas)", jax.jit(lambda a, b, s: s + ops.chamfer_l1(a, b)), xg, yg)
 
     print("PASS" if ok else "FAIL")
     sys.exit(0 if ok else 1)

@@ -135,23 +135,59 @@ def nn_distance(
         ``(d1, d2, i1, i2)`` with d1:(B,N) sqdist x→nearest y, i1:(B,N) its
         index, and symmetrically d2/i2:(B,M).
     """
+    out, _ = _nn_distance_impl(x, y, w1, w2, tile)
+    return out
+
+
+def _nn_distance_impl(x, y, w1, w2, tile):
+    """Shared forward returning ``((d1, d2, i1, i2), (y_at_i1, x_at_i2))``.
+
+    The gathered nearest neighbours are produced HERE (post-barrier) so the
+    custom-VJP forward can stash them as residuals and the backward re-uses
+    them instead of re-gathering — two (B, 16384)-row gathers saved per
+    train step at the paper recipe (measured in the XLA trace).
+    """
     # Barrier: without it XLA tries to fuse whatever produced x/y (model
     # reshape/slice chains) into the scan body below, and its fusion search
     # explodes (observed 60-500s compiles). Inputs are tiny; isolation is free.
     x, y = jax.lax.optimization_barrier((x, y))
-    d1, i1 = _nn_one_direction(x, y, w2, tile)
-    d2, i2 = _nn_one_direction(y, x, w1, tile)
+    if (
+        jax.default_backend() == "tpu"
+        and w1 is None
+        and w2 is None
+        and x.shape[1] * y.shape[1] >= 1 << 22
+        and x.shape[1] <= 1 << 18
+        and y.shape[1] <= 1 << 18
+    ):
+        # Fused bidirectional MXU-hybrid Pallas kernel: one pass over the
+        # distance tiles yields BOTH argmins (hi-lo bf16 cross term on the
+        # MXU + packed-index min epilogue; 5.5x the two one-direction VPU
+        # passes at 16x16384^2). Distances are recomputed exactly from the
+        # indices — O(N) gather + diff in fp32 — so the loss/metric value
+        # is full-precision regardless of the in-kernel approximation.
+        from .pallas.nn_distance import nn_argmin_bidir_mxu
+
+        i1, i2 = nn_argmin_bidir_mxu(x, y)
+    else:
+        _, i1 = _nn_one_direction(x, y, w2, tile)
+        _, i2 = _nn_one_direction(y, x, w1, tile)
+    x32 = x.astype(jnp.float32)
+    y32 = y.astype(jnp.float32)
+    y_at_i1 = jnp.take_along_axis(y32, i1[..., None], axis=1)
+    x_at_i2 = jnp.take_along_axis(x32, i2[..., None], axis=1)
+    d1 = jnp.maximum(jnp.sum((x32 - y_at_i1) ** 2, axis=-1), 0.0)
+    d2 = jnp.maximum(jnp.sum((y32 - x_at_i2) ** 2, axis=-1), 0.0)
     if w1 is not None:
         d1 = d1 * w1
     if w2 is not None:
         d2 = d2 * w2
-    return d1, d2, i1, i2
+    return (d1, d2, i1, i2), (y_at_i1, x_at_i2)
 
 
 def _nn_distance_fwd(x, y, w1, w2, tile):
-    out = nn_distance(x, y, w1, w2, tile)
-    d1, d2, i1, i2 = out
-    return out, (x, y, w1, w2, i1, i2)
+    out, (y_at_i1, x_at_i2) = _nn_distance_impl(x, y, w1, w2, tile)
+    _, _, i1, i2 = out
+    return out, (x, y, w1, w2, i1, i2, y_at_i1, x_at_i2)
 
 
 def _scatter_add_rows(n_rows: int, idx: jax.Array, vals: jax.Array) -> jax.Array:
@@ -164,15 +200,12 @@ def _scatter_add_rows(n_rows: int, idx: jax.Array, vals: jax.Array) -> jax.Array
 
 
 def _nn_distance_bwd(tile, res, grads):
-    x, y, w1, w2, i1, i2 = res
+    x, y, w1, w2, i1, i2, y_at_i1, x_at_i2 = res
     g1, g2, _, _ = grads  # cotangents of d1, d2 (indices are int outputs)
     if w1 is not None:
         g1 = g1 * w1
     if w2 is not None:
         g2 = g2 * w2
-
-    y_at_i1 = jnp.take_along_axis(y, i1[..., None], axis=1)  # (B, N, 3)
-    x_at_i2 = jnp.take_along_axis(x, i2[..., None], axis=1)  # (B, M, 3)
 
     # d1 = |x - y[i1]|^2  →  ∂/∂x = 2(x - y[i1]) g1 ; ∂/∂y[i1] -= same
     gx_own = 2.0 * (x - y_at_i1) * g1[..., None]
