@@ -84,43 +84,47 @@ def main():
     print(f"  knn k=8: idx match={km:.4f}")
     ok &= km == 1.0
 
-    print("== bidirectional argmin kernels (packed-index; near-tie band) ==")
-    from imgadapointr_tpu.ops.pallas.nn_distance import (
-        nn_argmin_bidir_mxu,
-        nn_argmin_bidir_pallas,
-    )
+    print("== fused bidirectional argmin kernel (diff-form, exact selection) ==")
+    from imgadapointr_tpu.ops.pallas.nn_distance import nn_argmin_bidir_exact
 
-    for B, N, M in [(4, 4096, 4096), (2, 576, 4096)]:
-        x = jax.random.normal(key, (B, N, 3))
-        y = jax.random.normal(jax.random.PRNGKey(2), (B, M, 3))
+    # dense surface clouds — the regime where approximate selection broke
+    # training (tiny NN spacings); diff-form selection must match the
+    # scan-path argmin EXACTLY (identical arithmetic)
+    def sphere(k, B, N):
+        v = jax.random.normal(k, (B, N, 3))
+        return 0.5 * v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+
+    for (B, N, M), gen in [((4, 4096, 4096), sphere), ((2, 576, 4096), None)]:
+        x = gen(key, B, N) if gen else jax.random.normal(key, (B, N, 3))
+        y = (
+            gen(jax.random.PRNGKey(2), B, M)
+            if gen
+            else jax.random.normal(jax.random.PRNGKey(2), (B, M, 3))
+        )
         _, i1_ref = nn_one_direction_pallas(x, y)
         _, i2_ref = nn_one_direction_pallas(y, x)
-        for name, fn, band in [
-            ("vpu", nn_argmin_bidir_pallas, 3e-3),
-            ("mxu", nn_argmin_bidir_mxu, 1e-1),
-        ]:
-            i1, i2 = fn(x, y)
-            xn, yn = np.asarray(x, np.float64), np.asarray(y, np.float64)
+        i1, i2 = nn_argmin_bidir_exact(x, y)
+        xn, yn = np.asarray(x, np.float64), np.asarray(y, np.float64)
 
-            def dsel(q, r, idx):
-                g = np.take_along_axis(r, np.asarray(idx)[..., None], axis=1)
-                return ((q - g) ** 2).sum(-1)
+        def dsel(q, r, idx):
+            g = np.take_along_axis(r, np.asarray(idx)[..., None], axis=1)
+            return ((q - g) ** 2).sum(-1)
 
-            # mismatched argmins must still be near-ties: the selected
-            # distance within the quantization band of the true minimum
-            gap1 = dsel(xn, yn, i1) - dsel(xn, yn, i1_ref)
-            gap2 = dsel(yn, xn, i2) - dsel(yn, xn, i2_ref)
-            rel = max(
-                float((gap1 / np.maximum(dsel(xn, yn, i1_ref), 1e-9)).max()),
-                float((gap2 / np.maximum(dsel(yn, xn, i2_ref), 1e-9)).max()),
-            )
-            m = min(
-                float((np.asarray(i1) == np.asarray(i1_ref)).mean()),
-                float((np.asarray(i2) == np.asarray(i2_ref)).mean()),
-            )
-            status = "OK" if (m > 0.99 and rel < band) else "FAIL"
-            ok &= m > 0.99 and rel < band
-            print(f"  bidir-{name} B={B} N={N} M={M}: idx={m:.5f} band={rel:.1e} [{status}]")
+        # any mismatch must be an ulp-level tie of the two fp32 paths
+        gap = max(
+            float(np.abs(dsel(xn, yn, i1) - dsel(xn, yn, i1_ref)).max()),
+            float(np.abs(dsel(yn, xn, i2) - dsel(yn, xn, i2_ref)).max()),
+        )
+        m = min(
+            float((np.asarray(i1) == np.asarray(i1_ref)).mean()),
+            float((np.asarray(i2) == np.asarray(i2_ref)).mean()),
+        )
+        status = "OK" if (m == 1.0 and gap == 0.0) else "FAIL"
+        ok &= m == 1.0 and gap == 0.0
+        print(
+            f"  bidir-exact B={B} N={N} M={M} {'sphere' if gen else 'normal'}: "
+            f"idx={m:.6f} gap={gap:.1e} [{status}]"
+        )
 
     # identical clouds: selected distance must collapse to ~0 (exact
     # recompute path) — the bf16-sensitivity probe from CLAUDE.md

@@ -151,6 +151,8 @@ def _nn_distance_impl(x, y, w1, w2, tile):
     # reshape/slice chains) into the scan body below, and its fusion search
     # explodes (observed 60-500s compiles). Inputs are tiny; isolation is free.
     x, y = jax.lax.optimization_barrier((x, y))
+    import os
+
     if (
         jax.default_backend() == "tpu"
         and w1 is None
@@ -158,16 +160,18 @@ def _nn_distance_impl(x, y, w1, w2, tile):
         and x.shape[1] * y.shape[1] >= 1 << 22
         and x.shape[1] <= 1 << 18
         and y.shape[1] <= 1 << 18
+        and not os.environ.get("IMGADAPOINTR_DISABLE_FUSED_CHAMFER")
     ):
-        # Fused bidirectional MXU-hybrid Pallas kernel: one pass over the
-        # distance tiles yields BOTH argmins (hi-lo bf16 cross term on the
-        # MXU + packed-index min epilogue; 5.5x the two one-direction VPU
-        # passes at 16x16384^2). Distances are recomputed exactly from the
-        # indices — O(N) gather + diff in fp32 — so the loss/metric value
-        # is full-precision regardless of the in-kernel approximation.
-        from .pallas.nn_distance import nn_argmin_bidir_mxu
+        # Fused bidirectional Pallas kernel: ONE diff-form pass over the
+        # distance tiles yields BOTH argmins (1.7x the two one-direction
+        # passes at 16x16384^2), with selection bit-identical to the scan
+        # path. Faster matmul-form variants exist (nn_argmin_bidir_mxu,
+        # 2.2x again) but their f32 cancellation floor flips near-tie
+        # selections on pred≈gt clouds and measurably degrades TRAINING
+        # convergence — see the kernel docstrings; keep selection exact.
+        from .pallas.nn_distance import nn_argmin_bidir_exact
 
-        i1, i2 = nn_argmin_bidir_mxu(x, y)
+        i1, i2 = nn_argmin_bidir_exact(x, y)
     else:
         _, i1 = _nn_one_direction(x, y, w2, tile)
         _, i2 = _nn_one_direction(y, x, w1, tile)

@@ -65,9 +65,13 @@ def _tiled_top2(x32, xsq, y_tiles, ysq_tiles, bases, price_tiles):
             + yts[None, :]
         )
         v = -d - pt[None, :]  # (N, tile)
-        t2, t2i = jax.lax.top_k(v, 2)
-        c1, c2 = t2[:, 0], t2[:, 1]
-        c1i = t2i[:, 0].astype(jnp.int32) + base
+        # top-2 via three linear reductions — lax.top_k lowers to a sort on
+        # TPU and dominated the auction iteration (10x slower at N=16384)
+        c1 = jnp.max(v, axis=1)
+        c1i_local = jnp.argmax(v, axis=1).astype(jnp.int32)
+        cols = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+        c2 = jnp.max(jnp.where(cols == c1i_local[:, None], neg, v), axis=1)
+        c1i = c1i_local + base
         upd = c1 > best
         second = jnp.where(upd, jnp.maximum(best, c2), jnp.maximum(second, c1))
         best = jnp.where(upd, c1, best)

@@ -15,7 +15,13 @@ lane-aligned dynamic stores (per-tile grid programs would force output
 blocks that violate Mosaic's (8, 128) divisibility rule).
 
 Numerics: diff-form fp32 — strictly better than the cancellation-prone
-matmul form (no bf16 issue at all).
+matmul form (no bf16 issue at all). This is load-bearing for TRAINING, not
+just metrics: matmul-form |x|²-2x·y+|y|² carries a ~2⁻²⁵·(|x|²+|y|²)
+absolute error floor from f32 cancellation, which on pred≈gt clouds flips
+~0.7% of nearest-neighbour selections and measurably slows convergence
+(synthetic A/B at epoch 20: CD-L1 15.2 matmul-exact-argmin / 16.8
+packed-argmin vs 12.3 diff-form). MXU offload of the cross term is
+therefore intentionally NOT used for chamfer argmin selection.
 """
 
 from __future__ import annotations
@@ -103,132 +109,70 @@ def nn_one_direction_pallas(
     return dist.reshape(B, Npad)[:, :N], idx.reshape(B, Npad)[:, :N]
 
 
-def _nn_packed_kernel(x_ref, y_ref, idx_ref, tm: int, idx_bits: int):
-    """Argmin via packed distance|index integers.
+def _nn_bidir_exact_kernel(x_ref, y_ref, rowidx_ref, colidx_ref, colmin_ref, tm: int):
+    """Bidirectional argmin, diff-form distances, EXACT selection.
 
-    For d >= 0, the f32 bit pattern is monotone as an int32, so
-    ``(bits(d) & ~mask) | col`` sorts by (d quantized to 23-idx_bits mantissa
-    bits, then col) — one running int-min yields the argmin with first-index
-    tie-breaks, replacing the 4-op min/compare/select/min argmin dance with
-    2 bit-ops + 1 min per pair. The (quantized) distance is discarded; the
-    caller recomputes it exactly from the index (O(N) gather + diff).
-    """
-    tn = x_ref.shape[0]
-    Mp = y_ref.shape[1]
-    m_chunks = Mp // tm
-    mask = (1 << idx_bits) - 1
-    xx = x_ref[:, 0:1]
-    xy = x_ref[:, 1:2]
-    xz = x_ref[:, 2:3]
+    One pass over the (TN, TM) distance tiles serves BOTH chamfer
+    directions: the row direction keeps a running (min, first-index argmin)
+    in registers; the column direction accumulates (min, argmin) into
+    output blocks that revisit the same slot across the sequential n grid.
 
-    def chunk(ci, best):
-        ms = pl.ds(pl.multiple_of(ci * tm, tm), tm)
-        d = _dist_tile(xx, xy, xz, y_ref[0:1, ms], y_ref[1:2, ms], y_ref[2:3, ms])
-        col = jax.lax.broadcasted_iota(jnp.int32, (tn, tm), 1) + ci * tm
-        packed = (jax.lax.bitcast_convert_type(d, jnp.int32) & ~mask) | col
-        return jnp.minimum(best, jnp.min(packed, axis=1, keepdims=True))
-
-    init = jnp.full((tn, 1), jnp.int32(0x7FFFFFFF))
-    best = jax.lax.fori_loop(0, m_chunks, chunk, init)
-    idx_ref[...] = (best & mask).reshape(tn // 128, 128)
-
-
-def nn_argmin_pallas(
-    x: jax.Array, y: jax.Array, tile_n: int = 1024, tile_m: int = 1024
-):
-    """Index of the nearest ``y`` per ``x`` (no distances). TPU Pallas.
-
-    Requires M (padded) <= 2^18; the index is packed into the low mantissa
-    bits of the f32 distance, leaving >= 5 mantissa bits — argmin can differ
-    from exact only between candidates within ~2^-6 relative distance of
-    each other (practically: 2^-10 at the PCN protocol's M=16384), where
-    either choice changes the recomputed distance by the same factor.
-    Padded y rows sit at 1e9 per axis, so their distances never win for any
-    plausible cloud (|x| << 1e8).
-    """
-    B, N, _ = x.shape
-    M = y.shape[1]
-    TN = min(tile_n, max(1024, N))
-    pad_n = (-N) % TN
-    Npad = N + pad_n
-    pad_m128 = (-M) % 128
-    TM = min(tile_m, M + pad_m128)
-    pad_m = (-M) % TM
-    Mp = M + pad_m
-    idx_bits = max(1, (Mp - 1).bit_length())
-    assert idx_bits <= 18, "index packing needs M <= 2^18"
-
-    xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, pad_n), (0, 5)))
-    yt = jnp.transpose(y.astype(jnp.float32), (0, 2, 1))
-    yt = jnp.pad(yt, ((0, 0), (0, 5), (0, pad_m)), constant_values=1e9)
-
-    rows = TN // 128
-    idx = pl.pallas_call(
-        functools.partial(_nn_packed_kernel, tm=TM, idx_bits=idx_bits),
-        grid=(B, Npad // TN),
-        in_specs=[
-            pl.BlockSpec((None, TN, 8), lambda b, n: (b, n, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 8, Mp), lambda b, n: (b, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (None, rows, 128), lambda b, n: (b, n, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, Npad // 128, 128), jnp.int32),
-    )(xp, yt)
-    return jnp.minimum(idx.reshape(B, Npad)[:, :N], M - 1)
-
-
-def _nn_bidir_kernel(
-    x_ref, y_ref, rowidx_ref, colmin_ref, tm: int, row_bits: int, col_bits: int
-):
-    """One pass over the (TN, TM) distance tiles serving BOTH chamfer
-    directions: row-wise packed argmin (x→y) written per N-tile, column-wise
-    packed min (y→x) accumulated across N-tiles into a block that revisits
-    the same output slot for every program in the n grid dimension (Pallas
-    TPU grids run sequentially, so read-modify-write accumulation is safe).
-
-    Halves the dominant O(N·M) distance work vs two one-direction passes.
+    Numerics are IDENTICAL to the one-direction kernel / XLA scan path:
+    diff-form fp32 ``dx²+dy²+dz²`` has no cancellation floor, unlike any
+    matmul formulation of ``|x|²-2x·y+|y|²`` whose f32 sums carry a
+    ~2⁻²⁵·(|x|²+|y|²) absolute error — on trained-model clouds (pred ≈ gt,
+    NN gaps ~1e-8) that flipped ~0.7% of selections and measurably slowed
+    training convergence even with an exact argmin dance on the erroneous
+    distances (synthetic A/B: CD-L1 15.2 vs 12.3 at epoch 20; a
+    quantized-selection variant was worse still at 16.8).
     """
     tn = x_ref.shape[0]
     Mp = y_ref.shape[1]
     m_chunks = Mp // tm
     n = pl.program_id(1)
-    row_mask = (1 << row_bits) - 1
-    col_mask = (1 << col_bits) - 1
-    xx = x_ref[:, 0:1]
-    xy = x_ref[:, 1:2]
-    xz = x_ref[:, 2:3]
 
     @pl.when(n == 0)
     def _():
-        colmin_ref[...] = jnp.full(colmin_ref.shape, jnp.int32(0x7FFFFFFF))
+        colmin_ref[...] = jnp.full(colmin_ref.shape, _BIG)
+        colidx_ref[...] = jnp.zeros(colidx_ref.shape, jnp.int32)
 
+    xx = x_ref[:, 0:1]
+    xy = x_ref[:, 1:2]
+    xz = x_ref[:, 2:3]
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (tn, tm), 0) + n * tn
+    IBIG = jnp.int32(0x7FFFFFFF)
 
-    def chunk(ci, best):
+    def chunk(ci, carry):
+        best_d, best_i = carry
         ms = pl.ds(pl.multiple_of(ci * tm, tm), tm)
         d = _dist_tile(xx, xy, xz, y_ref[0:1, ms], y_ref[1:2, ms], y_ref[2:3, ms])
-        bits = jax.lax.bitcast_convert_type(d, jnp.int32)
         col = jax.lax.broadcasted_iota(jnp.int32, (tn, tm), 1) + ci * tm
-        best = jnp.minimum(
-            best, jnp.min((bits & ~row_mask) | col, axis=1, keepdims=True)
-        )
-        cpk = jnp.min((bits & ~col_mask) | row_ids, axis=0, keepdims=True)  # (1, tm)
-        colmin_ref[0:1, ms] = jnp.minimum(colmin_ref[0:1, ms], cpk)
-        return best
+        cmin = jnp.min(d, axis=1, keepdims=True)
+        camin = jnp.min(jnp.where(d == cmin, col, IBIG), axis=1, keepdims=True)
+        upd = cmin < best_d
+        best_d = jnp.where(upd, cmin, best_d)
+        best_i = jnp.where(upd, camin, best_i)
+        dmin_c = jnp.min(d, axis=0, keepdims=True)
+        amin_c = jnp.min(jnp.where(d == dmin_c, row_ids, IBIG), axis=0, keepdims=True)
+        prev = colmin_ref[0:1, ms]
+        updc = dmin_c < prev
+        colmin_ref[0:1, ms] = jnp.where(updc, dmin_c, prev)
+        colidx_ref[0:1, ms] = jnp.where(updc, amin_c, colidx_ref[0:1, ms])
+        return best_d, best_i
 
-    init = jnp.full((tn, 1), jnp.int32(0x7FFFFFFF))
-    best = jax.lax.fori_loop(0, m_chunks, chunk, init)
-    rowidx_ref[...] = (best & row_mask).reshape(tn // 128, 128)
+    init = (jnp.full((tn, 1), _BIG), jnp.zeros((tn, 1), jnp.int32))
+    _, best_i = jax.lax.fori_loop(0, m_chunks, chunk, init)
+    rowidx_ref[...] = best_i.reshape(tn // 128, 128)
 
 
-def nn_argmin_bidir_pallas(
+def nn_argmin_bidir_exact(
     x: jax.Array, y: jax.Array, tile_n: int = 1024, tile_m: int = 1024
 ):
-    """(i1, i2): nearest-y index per x AND nearest-x index per y, one pass.
+    """(i1, i2): nearest-y per x AND nearest-x per y, one diff-form pass.
 
-    Same packed-index quantization semantics as ``nn_argmin_pallas``; both
-    clouds' pads sit at 1e9 so padded rows never win either direction.
+    Bit-identical distances and first-index tie-breaks vs the scan path —
+    the training-safe fused kernel (see the kernel docstring for why the
+    faster matmul-form variants are not).
     """
     B, N, _ = x.shape
     M = y.shape[1]
@@ -239,9 +183,6 @@ def nn_argmin_bidir_pallas(
     TM = min(tile_m, M + pad_m128)
     pad_m = (-M) % TM
     Mp = M + pad_m
-    row_bits = max(1, (Mp - 1).bit_length())
-    col_bits = max(1, (Npad - 1).bit_length())
-    assert row_bits <= 18 and col_bits <= 18, "index packing needs sizes <= 2^18"
 
     xp = jnp.pad(
         x.astype(jnp.float32), ((0, 0), (0, pad_n), (0, 5)), constant_values=1e9
@@ -250,10 +191,8 @@ def nn_argmin_bidir_pallas(
     yt = jnp.pad(yt, ((0, 0), (0, 5), (0, pad_m)), constant_values=1e9)
 
     rows = TN // 128
-    i1, i2 = pl.pallas_call(
-        functools.partial(
-            _nn_bidir_kernel, tm=TM, row_bits=row_bits, col_bits=col_bits
-        ),
+    i1, i2, _ = pl.pallas_call(
+        functools.partial(_nn_bidir_exact_kernel, tm=TM),
         grid=(B, Npad // TN),
         in_specs=[
             pl.BlockSpec((None, TN, 8), lambda b, n: (b, n, 0), memory_space=pltpu.VMEM),
@@ -262,134 +201,16 @@ def nn_argmin_bidir_pallas(
         out_specs=(
             pl.BlockSpec((None, rows, 128), lambda b, n: (b, n, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((None, 1, Mp), lambda b, n: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, Mp), lambda b, n: (b, 0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, Npad // 128, 128), jnp.int32),
             jax.ShapeDtypeStruct((B, 1, Mp), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, Mp), jnp.float32),
         ),
     )(xp, yt)
-    i1 = jnp.minimum(i1.reshape(B, Npad)[:, :N] & ((1 << row_bits) - 1), M - 1)
-    i2 = jnp.minimum(i2.reshape(B, Mp)[:, :M] & ((1 << col_bits) - 1), N - 1)
-    return i1, i2
-
-
-def _nn_bidir_mxu_kernel(
-    a_ref, b_ref, xsq_ref, ysq_ref, rowidx_ref, colmin_ref,
-    tm: int, row_bits: int, col_bits: int,
-):
-    """MXU-hybrid bidirectional argmin.
-
-    The cross term −2x·y arrives as a hi-lo bf16 matmul on the MXU
-    (A = [−2x_hi, −2x_lo, −2x_hi], B = [y_hi; y_hi; y_lo], f32 accumulate:
-    the three products reproduce fp32 x·y to ~2⁻¹⁸ relative, the dropped
-    x_lo·y_lo term being below that), leaving the VPU only the epilogue:
-    two adds + packed-min per pair for BOTH directions. ~2.6× the pure-VPU
-    diff-form kernel at 16×16384².
-
-    Caveat vs the diff-form kernel: d̃ can round slightly negative for
-    near-zero distances; negative f32s reverse their int-order, but every
-    negative candidate is within rounding of d = 0, so the winner is still
-    a true near-tie and the caller's exact recompute bounds the effect.
-    """
-    tn = a_ref.shape[0]
-    Mp = b_ref.shape[1]
-    m_chunks = Mp // tm
-    n = pl.program_id(1)
-    row_mask = (1 << row_bits) - 1
-    col_mask = (1 << col_bits) - 1
-
-    @pl.when(n == 0)
-    def _():
-        colmin_ref[...] = jnp.full(colmin_ref.shape, jnp.int32(0x7FFFFFFF))
-
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (tn, tm), 0) + n * tn
-    xsq = xsq_ref[:, 0:1]
-
-    def chunk(ci, best):
-        ms = pl.ds(pl.multiple_of(ci * tm, tm), tm)
-        P = jnp.dot(a_ref[...], b_ref[:, ms], preferred_element_type=jnp.float32)
-        d = (P + ysq_ref[0:1, ms]) + xsq
-        bits = jax.lax.bitcast_convert_type(d, jnp.int32)
-        col = jax.lax.broadcasted_iota(jnp.int32, (tn, tm), 1) + ci * tm
-        best = jnp.minimum(
-            best, jnp.min((bits & ~row_mask) | col, axis=1, keepdims=True)
-        )
-        cpk = jnp.min((bits & ~col_mask) | row_ids, axis=0, keepdims=True)
-        colmin_ref[0:1, ms] = jnp.minimum(colmin_ref[0:1, ms], cpk)
-        return best
-
-    best = jax.lax.fori_loop(
-        0, m_chunks, chunk, jnp.full((tn, 1), jnp.int32(0x7FFFFFFF))
-    )
-    rowidx_ref[...] = (best & row_mask).reshape(tn // 128, 128)
-
-
-def nn_argmin_bidir_mxu(
-    x: jax.Array, y: jax.Array, tile_n: int = 1024, tile_m: int = 1024
-):
-    """(i1, i2) bidirectional nearest-neighbour argmin, MXU-hybrid.
-
-    Same contract as ``nn_argmin_bidir_pallas`` with a wider (but still
-    near-tie-only) selection band: candidates within ~2⁻¹⁷·|x||y| of the
-    true minimum may swap. Callers recompute exact distances from the
-    indices, so the end effect on chamfer is ≤ the band at the mismatched
-    points (~0.1% of points at 16×16384², aggregate CD shift ~2e-5 rel).
-    """
-    B, N, _ = x.shape
-    M = y.shape[1]
-    TN = min(tile_n, max(1024, N))
-    pad_n = (-N) % TN
-    Npad = N + pad_n
-    pad_m128 = (-M) % 128
-    TM = min(tile_m, M + pad_m128)
-    pad_m = (-M) % TM
-    Mp = M + pad_m
-    row_bits = max(1, (Mp - 1).bit_length())
-    col_bits = max(1, (Npad - 1).bit_length())
-    assert row_bits <= 18 and col_bits <= 18, "index packing needs sizes <= 2^18"
-
-    x32 = x.astype(jnp.float32)
-    y32 = y.astype(jnp.float32)
-    xh = x32.astype(jnp.bfloat16)
-    xl = (x32 - xh.astype(jnp.float32)).astype(jnp.bfloat16)
-    yh = y32.astype(jnp.bfloat16)
-    yl = (y32 - yh.astype(jnp.float32)).astype(jnp.bfloat16)
-    zx = jnp.zeros(xh.shape[:2] + (7,), jnp.bfloat16)
-    zy = jnp.zeros(yh.shape[:2] + (7,), jnp.bfloat16)
-    A = jnp.concatenate([-2 * xh, -2 * xl, -2 * xh, zx], axis=-1)  # (B, N, 16)
-    Bm = jnp.concatenate([yh, yh, yl, zy], axis=-1).transpose(0, 2, 1)
-    # pads: coords far away + squared-norm sentinel so padded rows/cols
-    # never win either direction
-    A = jnp.pad(A, ((0, 0), (0, pad_n), (0, 0)), constant_values=1e4)
-    Bm = jnp.pad(Bm, ((0, 0), (0, 0), (0, pad_m)), constant_values=1e4)
-    xsq = jnp.sum(x32 * x32, -1, keepdims=True)
-    xsq = jnp.pad(xsq, ((0, 0), (0, pad_n), (0, 127)), constant_values=1e18)
-    ysq = jnp.sum(y32 * y32, -1, keepdims=True).transpose(0, 2, 1)
-    ysq = jnp.pad(ysq, ((0, 0), (0, 0), (0, pad_m)), constant_values=1e18)
-
-    rows = TN // 128
-    i1, i2 = pl.pallas_call(
-        functools.partial(
-            _nn_bidir_mxu_kernel, tm=TM, row_bits=row_bits, col_bits=col_bits
-        ),
-        grid=(B, Npad // TN),
-        in_specs=[
-            pl.BlockSpec((None, TN, 16), lambda b, n: (b, n, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 16, Mp), lambda b, n: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, TN, 128), lambda b, n: (b, n, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 1, Mp), lambda b, n: (b, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((None, rows, 128), lambda b, n: (b, n, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 1, Mp), lambda b, n: (b, 0, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, Npad // 128, 128), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1, Mp), jnp.int32),
-        ),
-    )(A, Bm, xsq, ysq)
-    i1 = jnp.minimum(i1.reshape(B, Npad)[:, :N] & ((1 << row_bits) - 1), M - 1)
-    i2 = jnp.minimum(i2.reshape(B, Mp)[:, :M] & ((1 << col_bits) - 1), N - 1)
+    i1 = jnp.minimum(i1.reshape(B, Npad)[:, :N], M - 1)
+    i2 = jnp.minimum(i2.reshape(B, Mp)[:, :M], N - 1)
     return i1, i2
 
 

@@ -76,6 +76,8 @@ def knn_with_distance(
     propagates tangents. This also lets the Pallas kernel (no JVP rule) sit
     inside differentiated graphs.
     """
+    import os
+
     xyz = jax.lax.stop_gradient(xyz)
     new_xyz = jax.lax.stop_gradient(new_xyz)
     # Pallas only where it beats XLA AND the Mosaic compile is worth it:
@@ -85,9 +87,13 @@ def knn_with_distance(
         jax.default_backend() == "tpu"
         and nsample <= 64
         and xyz.shape[1] * new_xyz.shape[1] >= 1 << 20
+        and not os.environ.get("IMGADAPOINTR_DISABLE_PALLAS_KNN")
     ):
         from .pallas.nn_distance import knn_pallas
 
+        # exact peeling kernel — a packed-index variant (near-tie rank
+        # swaps) measured ~0.5 CD-L1 worse at epoch 20 on the synthetic
+        # convergence A/B (benchmarks/RESULTS.md "Negative results")
         return knn_pallas(nsample, xyz, new_xyz)
     sqrdists = square_distance(new_xyz, xyz)
     neg, idx = jax.lax.top_k(-sqrdists, nsample)
