@@ -76,7 +76,10 @@ def _tiled_top2(x32, xsq, y_tiles, ysq_tiles, bases, price_tiles):
         second = jnp.where(upd, jnp.maximum(best, c2), jnp.maximum(second, c1))
         best = jnp.where(upd, c1, best)
         best_i = jnp.where(upd, c1i, best_i)
-        return (best, second, best_i), None
+        # barrier: the reduce→broadcast→where chains above otherwise feed
+        # XLA's fusion search across tile steps and iterations — compile
+        # time at N=16384 ballooned to ~8 min; the carry is only O(N)
+        return jax.lax.optimization_barrier((best, second, best_i)), None
 
     init = (
         jnp.full((N,), neg), jnp.full((N,), neg), jnp.zeros((N,), jnp.int32)
