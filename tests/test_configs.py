@@ -56,6 +56,18 @@ def test_pcn_config_enables_neither():
     assert not r.cars_dropping
 
 
+def test_every_shipped_config_builds_a_model_spec():
+    """Config-key drift guard: every cfgs/*_models/*.yaml must build its
+    ModelSpec (flax module + loss) through the registry."""
+    from imgadapointr_tpu.models.build import build_model_spec
+
+    paths = sorted(glob.glob(os.path.join(REPO, "cfgs", "*_models", "*.yaml")))
+    for p in paths:
+        cfg = cfg_from_yaml_file(p, root=REPO)
+        spec = build_model_spec(cfg.model)
+        assert spec.module is not None and callable(spec.loss_fn), p
+
+
 def test_dataset_config_fields_match_dataset_classes():
     sn = _load("cfgs/dataset_configs/ShapeNet55.yaml")
     for k in ("DATA_PATH", "PC_PATH", "N_POINTS"):
