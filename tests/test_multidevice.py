@@ -111,3 +111,70 @@ def test_tp_shards_large_kernels():
     assert MODEL_AXIS in str(rules["big"].spec)
     assert MODEL_AXIS not in str(rules["small"].spec) or params["small"].shape[-1] % 2 == 0
     assert MODEL_AXIS not in str(rules["vec"].spec)
+
+
+def test_tp2_loss_and_grads_match_single_device():
+    """GSPMD correctness: sharding kernels over the 'model' axis (tp=2,
+    dp=4) must leave loss and gradients numerically unchanged — the
+    collectives XLA inserts are exact reorderings."""
+    from imgadapointr_tpu.models import AdaPoinTrBase, adapointr_loss, rebuild_factor
+    from imgadapointr_tpu.utils.config import AttrDict
+
+    cfg = AttrDict(
+        {
+            "NAME": "AdaPoinTr", "num_query": 16, "num_points": 128,
+            "center_num": [32, 16], "global_feature_dim": 64,
+            "encoder_type": "graph", "decoder_type": "fc",
+            "encoder_config": {
+                "embed_dim": 48, "depth": 1, "num_heads": 6, "k": 4,
+                "n_group": 2, "mlp_ratio": 2.0,
+                "block_style_list": ["attn"], "combine_style": "concat",
+            },
+            "decoder_config": {
+                "embed_dim": 48, "depth": 1, "num_heads": 6, "k": 4,
+                "n_group": 2, "mlp_ratio": 2.0,
+                "self_attn_block_style_list": ["attn"],
+                "self_attn_combine_style": "concat",
+                "cross_attn_block_style_list": ["attn"],
+                "cross_attn_combine_style": "concat",
+            },
+        }
+    )
+    model = AdaPoinTrBase(cfg)
+    key = jax.random.PRNGKey(0)
+    xyz = jax.random.normal(key, (8, 128, 3))
+    gt = jax.random.normal(jax.random.PRNGKey(1), (8, 128, 3))
+    variables = jax.jit(
+        lambda k, x: model.init({"params": k, "noise": k}, x, train=True)
+    )(key, xyz)
+    factor = rebuild_factor(cfg)
+
+    def step(params, bstats, xyz, gt, rng):
+        def loss(p):
+            ret, _ = model.apply(
+                {"params": p, "batch_stats": bstats}, xyz, train=True,
+                rngs={"noise": rng}, mutable=["batch_stats"],
+            )
+            s, d = adapointr_loss(ret, gt, factor)
+            return s + d
+
+        return jax.value_and_grad(loss)(params)
+
+    params = variables["params"]
+    bstats = variables.get("batch_stats", {})
+    rng = jax.random.PRNGKey(2)
+    l1, g1 = jax.jit(step)(params, bstats, xyz, gt, rng)
+
+    mesh = make_mesh(tp=2)  # 4 dp x 2 tp over the 8 virtual devices
+    p_shard = param_sharding_rules(params, mesh, min_size=1 << 10)
+    params_s = jax.device_put(params, p_shard)
+    batch = shard_batch({"partial": xyz, "gt": gt}, mesh)
+    with mesh:
+        l2, g2 = jax.jit(step)(params_s, bstats, batch["partial"], batch["gt"], rng)
+
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        scale = max(1e-3, float(jnp.abs(a).max()))
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, atol=5e-3
+        )
