@@ -484,7 +484,7 @@ def load_torch_state(path: str) -> Dict[str, np.ndarray]:
     import torch
 
     raw = torch.load(path, map_location="cpu", weights_only=False)
-    for key in ("model", "base_model", "state_dict", "net"):
+    for key in ("model", "base_model", "state_dict", "model_state_dict", "net"):
         if isinstance(raw, dict) and key in raw:
             raw = raw[key]
             break
@@ -500,6 +500,13 @@ def load_gdanet_weights(path: str):
     """--gdanet_w entry point: torch GDANet checkpoint → (params, batch_stats)."""
     state = load_torch_state(path)
     result = convert_gdanet(state)
+    if not result["params"]:
+        # a wrong file/format would otherwise "load" nothing and train on a
+        # random frozen GDANet — fail loudly instead
+        raise ValueError(
+            f"no GDANet weights matched in {path} "
+            f"(checkpoint keys: {list(state)[:5]}...)"
+        )
     if result["missing"]:
         print(f"[convert_torch] {len(result['missing'])} keys missing "
               f"(strict=False, like the reference): {result['missing'][:5]}...")

@@ -224,3 +224,29 @@ def test_adapointr_conversion_covers_module_tree():
         assert a.shape == b.shape, (p, a.shape, b.shape)
         np.testing.assert_allclose(a, np.asarray(b), atol=1e-6, err_msg=str(p))
     assert paths(result["batch_stats"]) == paths(variables["batch_stats"])
+
+
+def test_load_gdanet_weights_from_torch_file(tmp_path):
+    """--gdanet_w end to end through a real torch-saved .pth: the reference
+    saves {'model': state_dict} (tools/runner.py:57-58); common
+    'model_state_dict' wrappers must work too; a checkpoint where nothing
+    matches must raise instead of silently training on random frozen
+    weights (the pre-fix behaviour)."""
+    import torch
+
+    from imgadapointr_tpu.tools.convert_torch import load_gdanet_weights
+
+    sd = {k: torch.from_numpy(v) for k, v in _synthetic_torch_gdanet_state().items()}
+    for wrapper in ("model", "model_state_dict"):
+        p = str(tmp_path / f"gdanet_{wrapper}.pth")
+        torch.save({wrapper: sd}, p)
+        params, stats = load_gdanet_weights(p)
+        assert "conv1_conv" in params and "conv1_bn" in stats
+        np.testing.assert_allclose(
+            params["conv1_conv"]["bias"], sd["conv1.0.bias"].numpy()
+        )
+
+    junk = str(tmp_path / "junk.pth")
+    torch.save({"model": {"not_a_layer.weight": torch.zeros(3)}}, junk)
+    with pytest.raises(ValueError, match="no GDANet weights matched"):
+        load_gdanet_weights(junk)
