@@ -77,3 +77,57 @@ def test_dataset_config_fields_match_dataset_classes():
         assert k in kitti
     cars = _load("cfgs/dataset_configs/PCNCars.yaml")
     assert cars.CARS is True
+
+
+def test_shapenet55_train_step_runs_with_crop_branch():
+    """One jitted train step through the ShapeNet-55 path: the per-step
+    random crop (gt -> partial) is applied inside the step (reference
+    tools/runner.py:150-159) and produces a finite loss."""
+    import jax
+    import numpy as np
+
+    from imgadapointr_tpu.tools.runner import Runner
+    from imgadapointr_tpu.utils.config import AttrDict
+
+    cfg = AttrDict(
+        {
+            "optimizer": {"type": "AdamW", "kwargs": {"lr": 1e-3, "weight_decay": 5e-4}},
+            "scheduler": {"type": "LambdaLR",
+                          "kwargs": {"decay_step": 2, "lr_decay": 0.9, "lowest_decay": 0.02}},
+            "bnmscheduler": {"type": "Lambda",
+                             "kwargs": {"decay_step": 2, "bn_decay": 0.5,
+                                        "bn_momentum": 0.9, "lowest_decay": 0.01}},
+            "max_epoch": 2,
+            "model": {
+                "NAME": "AdaPoinTr", "num_query": 16, "num_points": 128,
+                "center_num": [32, 16], "global_feature_dim": 64,
+                "encoder_type": "graph", "decoder_type": "fc",
+                "encoder_config": {
+                    "embed_dim": 48, "depth": 1, "num_heads": 6, "k": 4,
+                    "n_group": 2, "mlp_ratio": 2.0,
+                    "block_style_list": ["attn"], "combine_style": "concat",
+                },
+                "decoder_config": {
+                    "embed_dim": 48, "depth": 1, "num_heads": 6, "k": 4,
+                    "n_group": 2, "mlp_ratio": 2.0,
+                    "self_attn_block_style_list": ["attn"],
+                    "self_attn_combine_style": "concat",
+                    "cross_attn_block_style_list": ["attn"],
+                    "cross_attn_combine_style": "concat",
+                },
+            },
+            "dataset": {"train": {"NAME": "ShapeNet", "N_POINTS": 128,
+                                  "others": {"subset": "train"}}},
+        }
+    )
+    r = Runner(types.SimpleNamespace(tp=1, seed=0), cfg)
+    assert r.shapenet_train_crop and r.train_npoints == 128
+    rng = np.random.default_rng(0)
+    gt = rng.normal(size=(4, 128, 3)).astype(np.float32)
+    # the ShapeNet loader returns partial == gt; the step crops it itself
+    batch = {"partial": gt, "gt": gt}
+    state = r.init_state(batch)
+    state = r.make_train_state(state, steps_per_epoch=2)
+    state, metrics = r.train_step(state, batch, jax.random.PRNGKey(1), 0.0)
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert float(metrics["total_loss"]) > 0
