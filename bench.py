@@ -189,9 +189,14 @@ def main():
                 "metric": "adapointr_eval_completions_per_sec_per_chip_8192pts",
                 "value": round(completions_per_s, 2),
                 "unit": "completions/s/chip",
-                "vs_baseline": round(completions_per_s / A100_EST_COMPLETIONS_PER_S, 3),
-                "vs_self_baseline": round(
+                # vs_baseline is the MEASURED ratio vs this repo's own
+                # pre-Pallas self-baseline (same chip, same bench point);
+                # the modeled A100 anchor is demoted to vs_a100_model.
+                "vs_baseline": round(
                     completions_per_s / SELF_BASELINE_COMPLETIONS_PER_S, 3
+                ),
+                "vs_a100_model": round(
+                    completions_per_s / A100_EST_COMPLETIONS_PER_S, 3
                 ),
                 "train_step_ms_bs16_16384": round(train_dt * 1000, 1),
                 "train_samples_per_s": round(TRAIN_BATCH / train_dt, 2),

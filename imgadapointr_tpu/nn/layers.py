@@ -266,7 +266,10 @@ class BatchNorm(nn.Module):
             n = x.size // self.features
             unbiased = var * (n / max(n - 1, 1))
             if not self.is_initializing():
-                m = jnp.asarray(momentum, jnp.float32)
+                # momentum in the stats' accumulation dtype: f32 normally,
+                # f64 under the x64 gradient-parity harness (a hard f32
+                # cast of 0.9 costs ~3e-8 relative on every stat update)
+                m = jnp.asarray(momentum, mean.dtype)
                 ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
                 ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
         y = (x - mean) * jax.lax.rsqrt(var + self.eps)

@@ -15,6 +15,7 @@ from .pointops import (
 )
 from .chamfer import (
     nn_distance,
+    nn_distance_eval,
     chamfer_l1,
     chamfer_l2,
     chamfer_l2_split,
@@ -49,6 +50,7 @@ __all__ = [
     "furthest_point_sample",
     "fps",
     "nn_distance",
+    "nn_distance_eval",
     "chamfer_l1",
     "chamfer_l2",
     "chamfer_l2_split",

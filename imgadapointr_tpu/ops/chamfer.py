@@ -67,15 +67,18 @@ def _nn_one_direction(
     M = y.shape[1]
     num_tiles = M // tile
 
-    x32 = x.astype(jnp.float32)
+    # accumulate in >= f32: f32 for f32/bf16 inputs, f64 under x64 (the
+    # fp64 gradient-parity harness needs the loss path fp64-clean)
+    acc_t = jnp.promote_types(x.dtype, jnp.float32)
+    x32 = x.astype(acc_t)
     xsq = jnp.sum(x32 * x32, axis=-1)  # (B, N)
 
-    y_tiles = y.astype(jnp.float32).reshape(B, num_tiles, tile, 3).transpose(1, 0, 2, 3)
+    y_tiles = y.astype(acc_t).reshape(B, num_tiles, tile, 3).transpose(1, 0, 2, 3)
     if w2 is not None:
-        w = jnp.pad(w2.astype(jnp.float32), ((0, 0), (0, M - m_true)))
+        w = jnp.pad(w2.astype(acc_t), ((0, 0), (0, M - m_true)))
         w_tiles = w.reshape(B, num_tiles, tile).transpose(1, 0, 2)
     else:
-        w_tiles = jnp.ones((num_tiles, B, tile), jnp.float32)
+        w_tiles = jnp.ones((num_tiles, B, tile), acc_t)
 
     def step(carry, inp):
         best_d, best_i, base = carry
@@ -90,7 +93,7 @@ def _nn_one_direction(
                 "bnc,bmc->bnm",
                 x32,
                 yt,
-                preferred_element_type=jnp.float32,
+                preferred_element_type=acc_t,
                 precision=jax.lax.Precision.HIGHEST,
             )
             + ysq[:, None, :]
@@ -106,7 +109,7 @@ def _nn_one_direction(
         ), None
 
     init = (
-        jnp.full((B, N), jnp.inf, jnp.float32),
+        jnp.full((B, N), jnp.inf, acc_t),
         jnp.zeros((B, N), jnp.int32),
         jnp.int32(0),
     )
@@ -164,8 +167,12 @@ def _nn_distance_impl(x, y, w1, w2, tile):
     ):
         # Fused bidirectional Pallas kernel: ONE diff-form pass over the
         # distance tiles yields BOTH argmins (1.7x the two one-direction
-        # passes at 16x16384^2), with selection bit-identical to the scan
-        # path. Faster matmul-form variants exist (nn_argmin_bidir_mxu,
+        # passes at 16x16384^2), with selection bit-identical to the
+        # one-direction Pallas kernels it replaces in this size regime
+        # (both diff-form; the XLA scan fallback below computes matmul-form
+        # HIGHEST distances, so its near-tie picks can differ — see
+        # benchmarks/kernels.py for the parity gate that pins this).
+        # Faster matmul-form variants exist (nn_argmin_bidir_mxu,
         # 2.2x again) but their f32 cancellation floor flips near-tie
         # selections on pred≈gt clouds and measurably degrades TRAINING
         # convergence — see the kernel docstrings; keep selection exact.
@@ -175,8 +182,9 @@ def _nn_distance_impl(x, y, w1, w2, tile):
     else:
         _, i1 = _nn_one_direction(x, y, w2, tile)
         _, i2 = _nn_one_direction(y, x, w1, tile)
-    x32 = x.astype(jnp.float32)
-    y32 = y.astype(jnp.float32)
+    acc_t = jnp.promote_types(x.dtype, jnp.float32)
+    x32 = x.astype(acc_t)
+    y32 = y.astype(acc_t)
     y_at_i1 = jnp.take_along_axis(y32, i1[..., None], axis=1)
     x_at_i2 = jnp.take_along_axis(x32, i2[..., None], axis=1)
     d1 = jnp.maximum(jnp.sum((x32 - y_at_i1) ** 2, axis=-1), 0.0)
@@ -262,3 +270,55 @@ def _masked_mean(v: jax.Array, w: jax.Array | None) -> jax.Array:
         return jnp.mean(v)
     w = w.astype(v.dtype)
     return jnp.sum(v * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def nn_distance_eval(x: jax.Array, y: jax.Array):
+    """Bidirectional squared NN distances — **EVAL METRICS ONLY**.
+
+    Same contract as :func:`nn_distance` (d1, d2, i1, i2). By default this
+    IS the exact path: the round-3 re-measurement of the MXU matmul-form
+    selection kernel (benchmarks/kernels.py) found it only 1.16× faster
+    than the exact diff-form kernel at 16×16384² (34.6 vs 40.3 ms) — both
+    kernels are bound by the O(N·M) VPU min/argmin bookkeeping, not the
+    distance arithmetic the MXU accelerates — with a measured selection
+    band of ~4e-4..1.1e-3 (sqrt-abs, dense unit clouds), wider than the
+    ~2e-5 the round-2 experiment recorded. 16% for a banded selection is a
+    bad trade even for metrics, so the MXU kernel is opt-in
+    (``IMGADAPOINTR_ENABLE_MXU_EVAL_CHAMFER=1``); distance VALUES are
+    recomputed exactly from the selected indices either way, and the
+    x1000-CD delta stays < 1e-3 (gated in benchmarks/kernels.py).
+
+    The eval-side win that DOES pay is upstream: ``eval_metric_suite``
+    derives CD-L1 + CD-L2 + F-score from ONE pass through here instead of
+    three separate full passes.
+
+    NEVER route training losses through this entry: kept separate so any
+    future approximate-selection eval kernel can never leak into
+    ``models/losses.py`` (tests/test_round3_fixes.py pins that), where
+    selection precision is gradient quality (RESULTS.md negative results).
+
+    Non-differentiable by design (stop_gradient on the inputs): metrics
+    never need tangents and the Pallas kernels have no JVP rule.
+    """
+    import os
+
+    x = jax.lax.stop_gradient(x)
+    y = jax.lax.stop_gradient(y)
+    if (
+        jax.default_backend() == "tpu"
+        and x.shape[1] * y.shape[1] >= 1 << 22
+        and x.shape[1] <= 1 << 18
+        and y.shape[1] <= 1 << 18
+        and os.environ.get("IMGADAPOINTR_ENABLE_MXU_EVAL_CHAMFER")
+    ):
+        from .pallas.nn_distance import nn_argmin_bidir_mxu
+
+        i1, i2 = nn_argmin_bidir_mxu(x, y)
+        x32 = x.astype(jnp.float32)
+        y32 = y.astype(jnp.float32)
+        y_at_i1 = jnp.take_along_axis(y32, i1[..., None], axis=1)
+        x_at_i2 = jnp.take_along_axis(x32, i2[..., None], axis=1)
+        d1 = jnp.maximum(jnp.sum((x32 - y_at_i1) ** 2, axis=-1), 0.0)
+        d2 = jnp.maximum(jnp.sum((y32 - x_at_i2) ** 2, axis=-1), 0.0)
+        return d1, d2, i1, i2
+    return nn_distance(x, y)

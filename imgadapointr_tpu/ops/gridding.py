@@ -229,15 +229,37 @@ def gridding_distance(pred_cloud, gt_cloud, scale: int, span: float = 2.0):
     pred_grid = raster(p, pred_cloud)
     gt_grid = raster(g, gt_cloud)
 
+    # Non-silent truncation guard: if the dynamic bbox outgrows the static
+    # buffer (e.g. early-training GRNet predictions escaping [-1, 1] with a
+    # too-small ``span``), points beyond the buffer are dropped from both
+    # grids while n_elems still counts the full dynamic bbox — flag it.
+    # jax.debug.print is a host callback, which the axon TPU backend does
+    # not support (UNIMPLEMENTED: host send/recv) — emit only where
+    # callbacks work; on TPU the fix is the same either way: raise ``span``.
+    if jax.default_backend() != "tpu":
+        overflow = jnp.max(mx - mn + 1.0) > float(L)
+        jax.lax.cond(
+            overflow,
+            lambda: jax.debug.print(
+                "gridding_distance: dynamic bbox ({n} vertices/axis) exceeds "
+                "the static buffer (L={l}); out-of-buffer points dropped — "
+                "raise `span` to cover the cloud extent",
+                n=jnp.max(mx - mn + 1.0),
+                l=L,
+            ),
+            lambda: None,
+        )
+
     n_elems = jnp.prod(mx - mn + 1) * 8 * pred_cloud.shape[0]
     return pred_grid, gt_grid, n_elems
 
 
-def gridding_loss(pred_cloud, gt_cloud, scales, alphas):
+def gridding_loss(pred_cloud, gt_cloud, scales, alphas, span: float = 2.0):
     """Σ_i alpha_i · L1mean(pred_grid_i, gt_grid_i)
-    (reference __init__.py:92-114)."""
+    (reference __init__.py:92-114). ``span`` sizes the static buffer of every
+    per-scale gridding_distance call (input-unit cloud extent it must cover)."""
     total = 0.0
     for s, a in zip(scales, alphas):
-        pg, gg, n = gridding_distance(pred_cloud, gt_cloud, int(s))
+        pg, gg, n = gridding_distance(pred_cloud, gt_cloud, int(s), span=span)
         total = total + a * jnp.sum(jnp.abs(pg - gg)) / jnp.maximum(n, 1.0)
     return total

@@ -32,15 +32,20 @@ def square_distance(src: jax.Array, dst: jax.Array) -> jax.Array:
     # Precision.HIGHEST: on TPU the default bf16 matmul loses ~5e-3 absolute
     # on the -2x·y term, which breaks the |x-y|^2 cancellation. K=3 makes this
     # matmul bandwidth-bound, so full-precision costs nothing.
+    # Accumulate in promote(input, f32): f32 in production, f64 under the
+    # x64 gradient-parity harness — a hard f32 cast here flipped near-tie
+    # kNN selections (denoise targets on exact-duplicate points) vs the
+    # fp64 torch reference.
+    acc_t = jnp.promote_types(src.dtype, jnp.float32)
     d = -2.0 * jnp.einsum(
         "...nc,...mc->...nm",
         src,
         dst,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=acc_t,
         precision=jax.lax.Precision.HIGHEST,
     )
-    d = d + jnp.sum(src.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
-    d = d + jnp.sum(dst.astype(jnp.float32) ** 2, axis=-1)[..., None, :]
+    d = d + jnp.sum(src.astype(acc_t) ** 2, axis=-1, keepdims=True)
+    d = d + jnp.sum(dst.astype(acc_t) ** 2, axis=-1)[..., None, :]
     return d
 
 

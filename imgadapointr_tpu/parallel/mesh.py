@@ -59,17 +59,27 @@ def param_sharding_rules(params, mesh: Mesh, min_size: int = 1 << 16):
     return jax.tree_util.tree_map_with_path(rule, params)
 
 
-def shard_batch(batch, mesh: Mesh):
+def shard_batch(batch, mesh: Mesh, strict: bool = False):
     """Place a host batch onto the mesh, batch dim over 'data'.
 
     Arrays whose leading dim doesn't divide the data axis (e.g. the bs=1
-    eval/test protocol, reference tools/runner.py:483) are replicated."""
+    eval/test protocol, reference tools/runner.py:483) are replicated —
+    unless ``strict=True`` (the TRAIN path), where silent replication would
+    mean running every chip on the full batch at 1/n throughput: a
+    misconfigured train batch fails loudly instead."""
     s = batch_sharding(mesh)
     rep = replicated(mesh)
     n_data = mesh.shape[DATA_AXIS]
 
     def put(x):
         fits = hasattr(x, "shape") and x.ndim > 0 and x.shape[0] % n_data == 0
+        if strict and not fits and hasattr(x, "shape") and x.ndim > 0:
+            raise ValueError(
+                f"train batch dim {x.shape[0]} does not divide the data axis "
+                f"({n_data} devices) — adjust total_bs so every chip gets an "
+                f"equal shard (silent replication is disabled on the train "
+                f"path)"
+            )
         return jax.device_put(x, s if fits else rep)
 
     return jax.tree.map(put, batch)

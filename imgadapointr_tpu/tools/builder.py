@@ -42,6 +42,40 @@ def dataset_builder(args, dataset_cfg, logger=None):
     return dataset, loader
 
 
+# Parameter subtrees that receive ZERO gradient by construction — the
+# query-ranking MLP (argsort discards its tangent) and the deformable
+# offset nets (non-differentiable pointnet2 three_nn); see CLAUDE.md parity
+# invariants. The reference trains under DDP(find_unused_parameters=True):
+# these params keep grad=None and torch.optim SKIPS them entirely — no
+# moment update AND no decoupled weight decay. Masking them out of decay
+# makes our update exactly zero too (zero grads already give a zero Adam
+# term); without this they would decay toward 0 over 600 epochs while the
+# reference leaves them at init (proven by parity/run_parity_grad.py).
+ZERO_GRAD_PARAM_MARKERS = ("query_ranking", "linear_offset", "proj_v_off")
+
+
+def _clip_by_global_norm_torch(max_norm: float, eps: float = 1e-6):
+    """torch.nn.utils.clip_grad_norm_ semantics (reference runner.py:207):
+    ``coef = min(max_norm / (global_norm + 1e-6), 1.0)``.
+
+    optax.clip_by_global_norm omits the +1e-6 denominator epsilon — a
+    ~1.5e-8 relative scale difference on every clipped update, flagged by
+    the fp64 train-step parity harness (parity/run_parity_grad.py)."""
+    import jax.numpy as jnp
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        g_norm = optax.global_norm(updates)
+        coef = jnp.minimum(max_norm / (g_norm + eps), 1.0)
+        return jax.tree.map(lambda u: u * coef, updates), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def build_opt_sched(config, steps_per_epoch: int, params, frozen_paths=()):
     """Build the optax transform + (epoch→lr, epoch→bn momentum) schedules.
 
@@ -57,14 +91,23 @@ def build_opt_sched(config, steps_per_epoch: int, params, frozen_paths=()):
     lr_epoch = build_lr_schedule(base_lr, sched_cfg, max_epoch)
 
     def lr_step(step):
-        return lr_epoch(step / steps_per_epoch)
+        # int32/int true-divides to f32 even under x64 — cast the count to
+        # the default float dtype first (f64 in the fp64 parity harness)
+        import jax.numpy as jnp
+
+        return lr_epoch(jnp.asarray(step, jnp.result_type(float)) / steps_per_epoch)
 
     def _frozen(path):
         s = jax.tree_util.keystr(path)
         return any(f in s for f in frozen_paths)
 
+    def _zero_grad(path):
+        s = jax.tree_util.keystr(path)
+        return any(m in s for m in ZERO_GRAD_PARAM_MARKERS)
+
     decay_mask = jax.tree_util.tree_map_with_path(
-        lambda path, p: p.ndim > 1 and not _frozen(path), params
+        lambda path, p: p.ndim > 1 and not _frozen(path) and not _zero_grad(path),
+        params,
     )
     wd = float(kwargs.get("weight_decay", 0.0))
     if opt_cfg.type == "AdamW":
@@ -80,7 +123,7 @@ def build_opt_sched(config, steps_per_epoch: int, params, frozen_paths=()):
         raise NotImplementedError(f"optimizer {opt_cfg.type}")
 
     grad_clip = float(config.get("grad_norm_clip", 10.0))  # runner.py:207-212
-    tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+    tx = optax.chain(_clip_by_global_norm_torch(grad_clip), tx)
     # gradient accumulation (reference step_per_update, runner.py:207-215)
     k = int(config.get("step_per_update", 1))
     if k > 1:

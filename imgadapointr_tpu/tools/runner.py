@@ -26,8 +26,12 @@ from ..parallel import make_mesh, param_sharding_rules, replicated, shard_batch
 from ..utils.average_meter import AverageMeter
 from ..utils.checkpoint import checkpoint_exists, load_checkpoint, save_checkpoint
 from ..utils.logger import print_log
-from ..utils.metrics import METRIC_NAMES, Metrics, compute_metrics, f_score
-from ..ops import chamfer_l1, chamfer_l2
+from ..utils.metrics import (
+    METRIC_NAMES,
+    Metrics,
+    compute_metrics,
+    eval_metric_suite,
+)
 from .builder import build_opt_sched, dataset_builder
 
 SHAPENET_DICT_PATH = os.path.join("cfgs", "shapenet_synset_dict.json")
@@ -48,15 +52,30 @@ class Runner:
         self._jit_cache = {}
         # train-time input augmentation branches (reference tools/runner.py:
         # 150-185): ShapeNet-55/34 trains on random crops of the gt; CARS
-        # (KITTI finetune) randomly drops points from the partial.
+        # (KITTI finetune) randomly drops points from the partial. Selected
+        # declaratively via `dataset.train.train_aug: crop|dropping|none`;
+        # when the key is absent, inferred from the dataset NAME/CARS flag
+        # for back-compat with reference-style configs.
         train_cfg = config.dataset.get("train") if config.get("dataset") else None
         # our config system flattens `_base_` includes into the split dict
         # (utils/config.py:66-78), unlike the reference which nests them —
         # accept both so hand-built test configs with a literal _base_ work
         base = (train_cfg.get("_base_") or train_cfg) if train_cfg else None
-        name = base.get("NAME", "") if base else ""
-        self.shapenet_train_crop = "ShapeNet" in name and "PCN" not in name
-        self.cars_dropping = bool(base.get("CARS", False)) if base else False
+        aug = train_cfg.get("train_aug") if train_cfg else None
+        if aug is None and base is not None:
+            name = base.get("NAME", "")
+            if "ShapeNet" in name and "PCN" not in name:
+                aug = "crop"
+            elif base.get("CARS", False):
+                aug = "dropping"
+        aug = aug or "none"
+        if aug not in ("crop", "dropping", "none"):
+            raise ValueError(
+                f"dataset.train.train_aug must be crop|dropping|none, got {aug!r}"
+            )
+        self.train_aug = aug
+        self.shapenet_train_crop = aug == "crop"
+        self.cars_dropping = aug == "dropping"
         self.train_npoints = int(base.get("N_POINTS", 8192)) if base else 0
 
     # ------------------------------------------------------------------ setup
@@ -185,7 +204,7 @@ class Runner:
 
         queue = collections.deque()
         for tax, mid, batch in loader_iter:
-            queue.append((tax, mid, shard_batch(batch, self.mesh)))
+            queue.append((tax, mid, shard_batch(batch, self.mesh, strict=True)))
             if len(queue) >= depth:
                 yield queue.popleft()
         while queue:
@@ -198,12 +217,23 @@ class Runner:
             {"params": params, "batch_stats": batch_stats}, *inputs, train=False
         )
         gt = batch["gt"]
+        # ONE bidirectional NN pass serves dense CD-L1/L2 AND F-score (they
+        # all derive from the same per-point NN distances — previously 3
+        # full dense-sized passes); same sharing for the sparse pair. The
+        # dense pass uses the eval-only MXU selection kernel; exact
+        # selection remains the loss-path rule (ops/chamfer.py).
+        from ..ops import nn_distance
+
+        d1s, d2s, _, _ = nn_distance(coarse, gt)
+        s1s = jnp.sqrt(jnp.maximum(d1s, 1e-24))
+        s2s = jnp.sqrt(jnp.maximum(d2s, 1e-24))
+        f_dense, dense_l1, dense_l2 = eval_metric_suite(dense, gt)
         m = {
-            "sparse_l1": chamfer_l1(coarse, gt) * 1000.0,
-            "sparse_l2": chamfer_l2(coarse, gt) * 1000.0,
-            "dense_l1": chamfer_l1(dense, gt) * 1000.0,
-            "dense_l2": chamfer_l2(dense, gt) * 1000.0,
-            "f_score": f_score(dense, gt),
+            "sparse_l1": (jnp.mean(s1s) + jnp.mean(s2s)) / 2.0 * 1000.0,
+            "sparse_l2": (jnp.mean(d1s) + jnp.mean(d2s)) * 1000.0,
+            "dense_l1": dense_l1,
+            "dense_l2": dense_l2,
+            "f_score": f_dense,
         }
         return m, (coarse, dense)
 
@@ -215,7 +245,16 @@ class Runner:
 
     def _test_step(self, params, batch_stats, batch, require_emd):
         m, (coarse, dense) = self._eval_step(params, batch_stats, batch)
-        vals = compute_metrics(dense, batch["gt"], require_emd=require_emd)
+        # reference Metrics eval objects are ChamferDistance*(ignore_zeros=
+        # True) (utils/metrics.py:26,33), which engage only at bs==1 —
+        # batch size is static under jit, so the branch resolves at trace
+        # time to the exact reference semantics
+        vals = compute_metrics(
+            dense,
+            batch["gt"],
+            require_emd=require_emd,
+            ignore_zeros=(dense.shape[0] == 1),
+        )
         m["metrics"] = vals
         return m
 
@@ -417,6 +456,14 @@ def validate(runner, state, val_loader, epoch, val_writer, args, config, logger=
                 float(m["dense_l2"]),
             ]
         )
+        # f_score/dense_l* are batch means — attributing them to
+        # taxonomy_ids[0] is only correct at bs=1 (the reference forces
+        # eval bs=1, main.py:43-47); fail loudly instead of silently
+        # smearing one batch's mean across the first sample's category
+        assert len(taxonomy_ids) == 1, (
+            f"validate() per-category attribution requires eval bs=1, got "
+            f"batch of {len(taxonomy_ids)}"
+        )
         vals = [float(m["f_score"]), float(m["dense_l1"]), float(m["dense_l2"]), 0.0]
         tax = taxonomy_ids[0]
         if tax not in category_metrics:
@@ -499,6 +546,10 @@ def test(runner, state, test_loader, args, config, logger=None):
                 float(m["dense_l2"]),
             ]
         )
+        assert len(taxonomy_ids) == 1, (
+            f"test() per-category attribution requires eval bs=1, got "
+            f"batch of {len(taxonomy_ids)}"
+        )
         tax = taxonomy_ids[0]
         if tax not in category_metrics:
             category_metrics[tax] = AverageMeter(METRIC_NAMES)
@@ -556,6 +607,10 @@ def _test_shapenet55(runner, state, test_loader, args, config, logger=None):
             test_losses.update(
                 [float(m["sparse_l1"]), float(m["sparse_l2"]),
                  float(m["dense_l1"]), float(m["dense_l2"])]
+            )
+            assert len(taxonomy_ids) == 1, (
+                f"ShapeNet-55 test per-category attribution requires eval "
+                f"bs=1, got batch of {len(taxonomy_ids)}"
             )
             vals = [float(m["f_score"]), float(m["dense_l1"]), float(m["dense_l2"]), 0.0]
             tax = taxonomy_ids[0]

@@ -13,7 +13,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops import chamfer_l1, chamfer_l2, nn_distance
+from ..ops import chamfer_l1, chamfer_l2, nn_distance, nn_distance_eval
 
 METRIC_NAMES = ["F-Score", "CDL1", "CDL2", "EMDistance"]
 # is-greater-better flags + init values (reference utils/metrics.py:16-43)
@@ -21,29 +21,91 @@ METRIC_SIGNS = {"F-Score": True, "CDL1": False, "CDL2": False, "EMDistance": Fal
 METRIC_INIT = {"F-Score": 0.0, "CDL1": 32767.0, "CDL2": 32767.0, "EMDistance": 32767.0}
 
 
-def f_score(pred: jax.Array, gt: jax.Array, th: float = 0.01) -> jax.Array:
-    """what3d F-Score@th, batched; returns the batch mean.
+def _nonzero_mask(cloud: jax.Array) -> jax.Array:
+    """(B, N) float mask: 1 for real rows, 0 for zero-padded rows.
+
+    Reference ``non_zeros`` uses ``sum(xyz, dim=2) != 0``
+    (extensions/chamfer_dist/__init__.py:37-41); abs-sum here is identical
+    for all-zero padding rows and safer for real points whose coords happen
+    to sum to zero."""
+    return (jnp.sum(jnp.abs(cloud), axis=-1) > 0).astype(jnp.float32)
+
+
+def f_score(
+    pred: jax.Array,
+    gt: jax.Array,
+    th: float = 0.01,
+    w_pred: jax.Array | None = None,
+    w_gt: jax.Array | None = None,
+    reduce: bool = True,
+) -> jax.Array:
+    """what3d F-Score@th, batched.
 
     precision = mean(d(pred→gt) < th), recall = mean(d(gt→pred) < th),
     F = 2PR/(P+R) (reference utils/metrics.py:68-90).
+
+    ``reduce=True`` returns the batch mean — only a per-category statistic
+    at bs=1 (the reference computes F per sample in a CPU loop); pass
+    ``reduce=False`` for the per-sample (B,) values when attributing
+    metrics per taxonomy with bs>1. Optional masks drop zero-padded rows
+    from both the hit counts and the neighbour candidates.
     """
-    d1, d2, _, _ = nn_distance(pred, gt)
+    d1, d2, _, _ = nn_distance(pred, gt, w_pred, w_gt)
     dist1 = jnp.sqrt(jnp.maximum(d1, 0.0))
     dist2 = jnp.sqrt(jnp.maximum(d2, 0.0))
-    precision = jnp.mean((dist1 < th).astype(jnp.float32), axis=1)
-    recall = jnp.mean((dist2 < th).astype(jnp.float32), axis=1)
+
+    def hit_rate(dist, w):
+        hits = (dist < th).astype(jnp.float32)
+        if w is None:
+            return jnp.mean(hits, axis=1)
+        return jnp.sum(hits * w, axis=1) / jnp.maximum(jnp.sum(w, axis=1), 1.0)
+
+    precision = hit_rate(dist1, w_pred)
+    recall = hit_rate(dist2, w_gt)
     denom = precision + recall
     f = jnp.where(denom > 0, 2.0 * precision * recall / jnp.maximum(denom, 1e-12), 0.0)
-    return jnp.mean(f)
+    return jnp.mean(f) if reduce else f
 
 
-def compute_metrics(pred, gt, require_emd: bool = False):
+def eval_metric_suite(pred: jax.Array, gt: jax.Array, th: float = 0.01):
+    """(f_score, cd_l1, cd_l2) from ONE bidirectional NN pass — EVAL ONLY.
+
+    The separate ``f_score``/``chamfer_l1``/``chamfer_l2`` calls each run a
+    full O(N·M) distance pass over the same clouds; metrics derive from the
+    same per-point NN distances, so one pass serves all three. Uses
+    :func:`ops.nn_distance_eval` (MXU selection on TPU, ~2e-5 selection
+    band, exact distance values — metric-safe, never for losses). Returns
+    CDs ×1000 like :func:`compute_metrics`; batch-mean values.
+    """
+    d1, d2, _, _ = nn_distance_eval(pred, gt)
+    s1 = jnp.sqrt(jnp.maximum(d1, 1e-24))  # same floor as chamfer_l1
+    s2 = jnp.sqrt(jnp.maximum(d2, 1e-24))
+    cd_l1 = (jnp.mean(s1) + jnp.mean(s2)) / 2.0 * 1000.0
+    cd_l2 = (jnp.mean(d1) + jnp.mean(d2)) * 1000.0
+    precision = jnp.mean((s1 < th).astype(jnp.float32), axis=1)
+    recall = jnp.mean((s2 < th).astype(jnp.float32), axis=1)
+    denom = precision + recall
+    f = jnp.where(denom > 0, 2.0 * precision * recall / jnp.maximum(denom, 1e-12), 0.0)
+    return jnp.mean(f), cd_l1, cd_l2
+
+
+def compute_metrics(pred, gt, require_emd: bool = False, ignore_zeros: bool = False):
     """Return [F-Score, CDL1×1000, CDL2×1000, EMD×1000] (reference
-    Metrics.get, utils/metrics.py:46-57). EMD is 0 unless requested."""
+    Metrics.get, utils/metrics.py:46-57). EMD is 0 unless requested.
+
+    ``ignore_zeros=True`` reproduces the reference eval objects
+    ``ChamferDistanceL1/L2(ignore_zeros=True)`` (utils/metrics.py:26,33):
+    zero-padded rows of either cloud are dropped from the CD means and from
+    the neighbour candidates. Faithful scope: the reference applies this to
+    CDL1/CDL2 only — its F-Score (open3d, full clouds) and EMD never strip
+    zeros — so neither do we.
+    """
+    w_pred = _nonzero_mask(pred) if ignore_zeros else None
+    w_gt = _nonzero_mask(gt) if ignore_zeros else None
     vals = [
         f_score(pred, gt),
-        chamfer_l1(pred, gt) * 1000.0,
-        chamfer_l2(pred, gt) * 1000.0,
+        chamfer_l1(pred, gt, w_pred, w_gt) * 1000.0,
+        chamfer_l2(pred, gt, w_pred, w_gt) * 1000.0,
     ]
     if require_emd:
         from ..ops.emd import emd_distance_metric

@@ -2,8 +2,12 @@
 
 Removed: --launcher/--local_rank/--sync_bn (process topology is handled by
 jax.distributed + the mesh; cross-device batch stats fall out of the sharded
-batch axis). Added: --tp (tensor-parallel width) and --synthetic (run on the
-procedurally generated dataset when PCN data is absent).
+batch axis); --deterministic (the reference's cudnn-determinism toggle has
+no analog here — determinism IS the default: seeded PRNG streams,
+deterministic XLA scatters everywhere the reference raced atomicAdd, and an
+order-preserving loader with per-sample seeded rng). Added: --tp
+(tensor-parallel width) and --synthetic (run on the procedurally generated
+dataset when PCN data is absent).
 """
 
 from __future__ import annotations
@@ -18,7 +22,6 @@ def get_args(argv=None):
     parser.add_argument("--config", type=str, required=True, help="yaml config file")
     parser.add_argument("--num_workers", type=int, default=8)
     parser.add_argument("--seed", type=int, default=0, help="random seed")
-    parser.add_argument("--deterministic", action="store_true")
     parser.add_argument("--exp_name", type=str, default="default", help="experiment name")
     parser.add_argument("--start_ckpts", type=str, default=None)
     parser.add_argument("--ckpts", type=str, default=None)

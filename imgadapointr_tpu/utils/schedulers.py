@@ -24,8 +24,22 @@ import math
 import jax.numpy as jnp
 
 
+def _ep(epoch):
+    """Epoch as >= f32: f32 in production, f64 under the x64 parity harness
+    (hard-f32 schedules put a uniform ~5e-8 rel error on every lr/alpha —
+    visible as systematic AdamW-update drift vs the fp64 torch reference).
+
+    Integer epochs (e.g. optax's int32 step count) go to the DEFAULT float
+    dtype — promote_types(int32, f32) would pin them to f32 even under x64.
+    """
+    e = jnp.asarray(epoch)
+    if not jnp.issubdtype(e.dtype, jnp.floating):
+        return e.astype(jnp.result_type(float))
+    return e.astype(jnp.promote_types(e.dtype, jnp.float32))
+
+
 def lambda_lr_factor(epoch, lr_decay, decay_step, lowest_decay, warmingup_e=0):
-    e = jnp.asarray(epoch, jnp.float32)
+    e = _ep(epoch)
     decayed = jnp.maximum(lr_decay ** ((e - warmingup_e) / decay_step), lowest_decay)
     if warmingup_e > 0:
         warm = jnp.maximum(e / warmingup_e, 0.001)
@@ -34,17 +48,17 @@ def lambda_lr_factor(epoch, lr_decay, decay_step, lowest_decay, warmingup_e=0):
 
 
 def bn_momentum(epoch, bn_momentum=0.9, bn_decay=0.5, decay_step=21, lowest_decay=0.01):
-    e = jnp.asarray(epoch, jnp.float32)
+    e = _ep(epoch)
     return jnp.maximum(bn_momentum * bn_decay ** (e / decay_step), lowest_decay)
 
 
 def step_lr_factor(epoch, decay_step, gamma=0.1):
-    e = jnp.asarray(epoch, jnp.float32)
+    e = _ep(epoch)
     return gamma ** jnp.floor(e / decay_step)
 
 
 def cos_lr_value(epoch, t_max, lr, min_lr, warmup_e=0, warmup_lr_init=1e-6):
-    e = jnp.asarray(epoch, jnp.float32)
+    e = _ep(epoch)
     warm = warmup_lr_init + (lr - warmup_lr_init) * e / max(warmup_e, 1)
     t = jnp.clip((e - warmup_e) / max(t_max - warmup_e, 1), 0.0, 1.0)
     cos = min_lr + 0.5 * (lr - min_lr) * (1.0 + jnp.cos(math.pi * t))
@@ -63,7 +77,7 @@ def gradual_warmup_lr(
     - ``e > total_epoch``: hand off to the after-scheduler (StepLR here)
       evaluated at ``e - total_epoch`` with base ``base_lr * multiplier``.
     """
-    e = jnp.asarray(epoch, jnp.float32)
+    e = _ep(epoch)
     if multiplier == 1.0:
         warm = base_lr * e / total_epoch
     else:

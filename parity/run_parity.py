@@ -98,7 +98,12 @@ def build_reference_model(model_cfg, double, kind="adapointr"):
 
 
 def torch_state_numpy(ref):
-    return {k: v.detach().cpu().numpy() for k, v in ref.state_dict().items()}
+    # .copy() is load-bearing: .numpy() returns a VIEW of the tensor's
+    # storage, and jnp.asarray on the CPU backend can zero-copy that view —
+    # a later in-place torch mutation (BN running-stat update, optimizer
+    # step) would silently rewrite the jax side's "constants" (this bit the
+    # round-3 gradient harness as a phantom double BN update)
+    return {k: v.detach().cpu().numpy().copy() for k, v in ref.state_dict().items()}
 
 
 def convert_and_merge(sd, model_cfg, examples, double, kind="adapointr"):
@@ -246,6 +251,10 @@ def main():
 
     os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
     import jax
+
+    # the axon TPU plugin ignores the env vars — force the CPU backend
+    # explicitly or every eager op pays a 0.2-2 s tunnel round-trip
+    jax.config.update("jax_platforms", "cpu")
 
     if args.double:
         jax.config.update("jax_enable_x64", True)

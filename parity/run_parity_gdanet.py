@@ -35,6 +35,10 @@ def main():
     os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
     import jax
 
+    # the axon TPU plugin ignores the env vars — force the CPU backend
+    # explicitly or every eager op pays a 0.2-2 s tunnel round-trip
+    jax.config.update("jax_platforms", "cpu")
+
     if args.double:
         jax.config.update("jax_enable_x64", True)
     jax.config.update("jax_default_matmul_precision", "highest")

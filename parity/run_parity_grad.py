@@ -1,0 +1,377 @@
+"""Gradient + train-step parity harness: reference torch autograd (CPU) vs
+this framework's ``jax.grad`` through converted fp64 weights.
+
+Extends parity/run_parity.py (activation parity) to the BACKWARD side — the
+last semantic surface activation parity cannot see:
+
+- per-parameter-block gradients of the full training loss
+  (denoise CD-L1 on kNN-gathered targets ×0.5 + CD-L1(coarse)·alpha +
+  CD-L1(fine); reference models/external/AdaPoinTr.py:193-216 and
+  models/internal/ImgResNetEncAdaPoinTrVariableLoss.py:79-97),
+- the zero-gradient invariant for query_ranking / deformable offset nets
+  (reference trains under DDP find_unused_parameters=True: those params get
+  NO grad and NO optimizer update),
+- one AdamW step with the reference's decay masking
+  (tools/builder.py:37-62 add_weight_decay: no decay on 1-d params/biases)
+  after grad-clip 10 (tools/runner.py:207-212),
+- the BatchNorm running-stat update under the BN-momentum scheduler
+  (utils/misc.py:57-62,119-149).
+
+Usage (from /root/repo):
+    python parity/run_parity_grad.py --config cfgs/PCN_models/AdaPoinTr-tiny.yaml \
+        [--model img] [--double] [--epoch 30] \
+        [--golden tests/goldens/adapointr_tiny_grad.npz]
+
+Torch gradients are mapped into flax layout by running the grad state-dict
+through the SAME converter as the weights — every conversion rule is a
+layout permutation / row-split, which commutes with differentiation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFERENCE = "/root/reference"
+sys.path.insert(0, REPO)
+
+from parity.run_parity import (  # noqa: E402
+    build_reference_model,
+    compare,
+    convert_and_merge,
+    flatten,
+    to_plain,
+    torch_state_numpy,
+    unflatten,
+)
+
+# Parameter subtrees that receive ZERO gradient by construction (argsort /
+# non-differentiable pointnet2 three_nn — see CLAUDE.md parity invariants).
+# Under the reference's DDP(find_unused_parameters=True) these get grad=None
+# → torch.optim skips them entirely (no decay, no moment update).
+ZERO_GRAD_MARKERS = ("query_ranking", "linear_offset", "proj_v_off")
+
+
+def torch_grads_numpy(ref):
+    """state_dict-shaped gradient dict (zeros for grad-less params/buffers)."""
+    import torch
+
+    name_to_param = dict(ref.named_parameters())
+    out = {}
+    for k, v in ref.state_dict().items():
+        p = name_to_param.get(k)
+        if p is not None and p.grad is not None:
+            out[k] = p.grad.detach().cpu().numpy().copy()  # copy: see run_parity
+        else:
+            out[k] = np.zeros_like(v.detach().cpu().numpy())
+    return out
+
+
+def build_reference_optimizer(ref, config):
+    """The reference AdamW with add_weight_decay masking
+    (tools/builder.py:37-62), importing the real reference code.
+
+    Loaded by file path: ``tools/__init__`` pulls in runner→wandb, which is
+    not installed; builder.py itself only needs modules the stubs provide.
+    """
+    import importlib.util
+    import types
+
+    sys.path.insert(0, REFERENCE)
+    spec = importlib.util.spec_from_file_location(
+        "ref_tools_builder", os.path.join(REFERENCE, "tools", "builder.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    # add_weight_decay reads model.module.named_parameters() (DDP-wrapped in
+    # the reference runner); wrap the bare module the same way
+    wrapper = types.SimpleNamespace(module=ref, parameters=ref.parameters)
+    return mod.build_optimizer(wrapper, config)
+
+
+def compare_tree(name, tree_t, tree_j, tol, report, zero_markers=(), floor_frac=1e-6):
+    """Per-leaf comparison of two nested dicts; returns overall ok flag.
+
+    Per-leaf deltas are taken relative to max(leaf magnitude, 1e-6 × global
+    magnitude): a handful of parameters have ANALYTICALLY ZERO gradients
+    (a conv bias feeding straight into train-mode BatchNorm is exactly
+    mean-subtracted away; a key-projection bias shifts every attention
+    logit of a query equally and cancels in softmax) — both autograds
+    produce ~1e-12 cancellation residue there and a pure relative delta
+    would compare noise against noise.
+    """
+    import jax
+
+    flat_t = flatten(to_plain(tree_t))
+    flat_j = flatten(to_plain(jax.device_get(tree_j)))
+    assert set(flat_t) == set(flat_j), (
+        f"{name}: tree mismatch "
+        f"{sorted(set(flat_t) ^ set(flat_j))[:6]}"
+    )
+    global_scale = max(
+        (float(np.abs(np.asarray(v)).max()) for v in flat_t.values()),
+        default=1.0,
+    )
+    ok = True
+    worst = (None, 0.0)
+    n_zero = 0
+    for k in sorted(flat_t):
+        a, b = np.asarray(flat_t[k]), np.asarray(flat_j[k])
+        assert a.shape == b.shape, f"{name}/{k}: {a.shape} vs {b.shape}"
+        path = "/".join(k)
+        if any(m in path for m in zero_markers):
+            # invariant: BOTH sides must be exactly zero
+            if np.abs(a).max() != 0.0 or np.abs(b).max() != 0.0:
+                print(f"  [FAIL] {name}/{path}: expected zero grad, "
+                      f"torch {np.abs(a).max():.2e} jax {np.abs(b).max():.2e}")
+                ok = False
+            n_zero += 1
+            continue
+        scale = max(np.abs(a).max(), floor_frac * global_scale, 1e-12)
+        delta = np.abs(a - b).max() / scale
+        if delta > worst[1]:
+            worst = (path, delta)
+        if delta >= tol:
+            print(f"  [FAIL] {name}/{path:60s} rel-delta {delta:.3e}")
+            ok = False
+    report.append((name, worst[1]))
+    print(f"  [{'OK ' if ok else 'FAIL'}] {name}: {len(flat_t)} leaves "
+          f"({n_zero} zero-grad-invariant), worst {worst[0]} "
+          f"rel-delta {worst[1]:.3e}")
+    return ok
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="cfgs/PCN_models/AdaPoinTr-tiny.yaml")
+    ap.add_argument("--model", choices=["adapointr", "img"], default="adapointr")
+    ap.add_argument("--double", action="store_true")
+    ap.add_argument("--epoch", type=int, default=0,
+                    help="training epoch (exercises the variable-loss alpha "
+                    "table and the BN-momentum schedule)")
+    ap.add_argument("--golden", default=None)
+    ap.add_argument("--tol", type=float, default=None)
+    ap.add_argument("--n-points", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=2)
+    args = ap.parse_args()
+
+    os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+    import jax
+
+    # the axon TPU plugin ignores the env vars — force the CPU backend
+    # explicitly or every eager op pays a 0.2-2 s tunnel round-trip
+    jax.config.update("jax_platforms", "cpu")
+    if args.double:
+        jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_default_matmul_precision", "highest")
+    tol = args.tol if args.tol is not None else (1e-8 if args.double else 5e-3)
+
+    from imgadapointr_tpu.utils.config import cfg_from_yaml_file
+
+    config = cfg_from_yaml_file(args.config)
+    model_cfg = config.model
+
+    ref = build_reference_model(model_cfg, args.double, kind=args.model)
+    sd = torch_state_numpy(ref)
+
+    import torch
+
+    g = torch.Generator().manual_seed(42)
+    dtype = torch.float64 if args.double else torch.float32
+    x_t = torch.randn(args.batch, args.n_points, 3, generator=g, dtype=dtype)
+    n_gt = int(model_cfg.num_points)
+    gt_t = torch.randn(args.batch, n_gt, 3, generator=g, dtype=dtype) * 0.5
+    inputs_t = [x_t]
+    inputs_np = [x_t.numpy()]
+    if args.model == "img":
+        img_t = torch.randn(args.batch, 3, 224, 224, generator=g, dtype=dtype)
+        inputs_t.append(img_t)
+        inputs_np.append(img_t.numpy().transpose(0, 2, 3, 1))
+
+    import jax.numpy as jnp
+
+    inputs_j = [jnp.asarray(a) for a in inputs_np]
+    gt_j = jnp.asarray(gt_t.numpy())
+    spec, variables = convert_and_merge(
+        sd, model_cfg, inputs_j, args.double, kind=args.model
+    )
+
+    # deterministic denoise branch on both sides (as run_parity --train)
+    from utils import misc as ref_misc  # reference
+
+    ref_misc.jitter_points = lambda pc, **kw: pc
+    from imgadapointr_tpu import ops as our_ops
+
+    our_ops.jitter_points = lambda key, pc, **kw: pc
+
+    # ---- BN momentum from the REFERENCE scheduler (utils/misc.py:119-149)
+    from utils.misc import build_lambda_bnsche  # reference
+
+    bn_sched = build_lambda_bnsche(ref, config.bnmscheduler.kwargs)
+    bn_sched.step(args.epoch)
+    bnm_torch = bn_sched.get_momentum(args.epoch)
+
+    from imgadapointr_tpu.utils.schedulers import build_bnm_schedule
+
+    bnm_ours = float(build_bnm_schedule(config.get("bnmscheduler"))(args.epoch))
+    print(f"BN momentum @epoch {args.epoch}: torch {bnm_torch:.6f} "
+          f"ours {bnm_ours:.6f}")
+    # our schedule evaluates in f32 (a traced per-epoch scalar); semantic
+    # parity is f32-resolution — feed BOTH sides the torch fp64 value below
+    # so the stat comparison isolates the BN update rule itself
+    assert abs(bnm_torch - bnm_ours) < 1e-6, "BN momentum schedule drift"
+    bnm_ours = float(bnm_torch)
+
+    # ---------------------------------------------------------- torch side
+    ref.train()
+    ret_t = ref(*inputs_t)
+    sparse_t, dense_t = ref.get_loss(ret_t, gt_t, args.epoch)
+    total_t = sparse_t + dense_t
+    ref.zero_grad()
+    total_t.backward()
+    grads_sd = torch_grads_numpy(ref)
+    bs_after_t = {
+        k: v.detach().cpu().numpy().copy() for k, v in ref.state_dict().items()
+    }
+
+    # ------------------------------------------------------------ jax side
+    key = jax.random.PRNGKey(7)
+
+    def loss_fn(params):
+        ret, upd = spec.module.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            *inputs_j, train=True, bn_momentum=bnm_ours,
+            rngs={"noise": key, "dropout": key}, mutable=["batch_stats"],
+        )
+        s, d = spec.loss_fn(ret, gt_j, jnp.asarray(float(args.epoch)))
+        return s + d, (s, d, upd["batch_stats"])
+
+    (total_j, (s_j, d_j, new_bs_j)), grads_j = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(variables["params"])
+
+    report = []
+    ok = True
+    print(f"== loss parity ({'fp64' if args.double else 'fp32'}, "
+          f"epoch {args.epoch}, tol {tol:g}) ==")
+    ok &= compare("loss.sparse", sparse_t.detach(), s_j, tol, report)
+    ok &= compare("loss.dense", dense_t.detach(), d_j, tol, report)
+
+    print("== gradient parity (torch autograd vs jax.grad) ==")
+    grad_tree, _ = _convert_tree(grads_sd, model_cfg, args.model)
+    ok &= compare_tree(
+        "grads", grad_tree, grads_j, tol, report, zero_markers=ZERO_GRAD_MARKERS
+    )
+
+    print("== BN running-stat update parity (momentum scheduler engaged) ==")
+    bs_tree, stats_after_t = _convert_tree(bs_after_t, model_cfg, args.model)
+    ok &= compare_tree("batch_stats", stats_after_t, new_bs_j, tol, report)
+
+    print("== one AdamW step (reference add_weight_decay masking + clip 10) ==")
+    opt = build_reference_optimizer(ref, config)
+    torch.nn.utils.clip_grad_norm_(ref.parameters(), 10.0)
+    opt.step()
+    new_sd = torch_state_numpy(ref)
+    new_param_tree_t, _ = _convert_tree(new_sd, model_cfg, args.model)
+
+    from imgadapointr_tpu.tools.builder import build_opt_sched
+
+    tx, _, _ = build_opt_sched(config, 1, variables["params"])
+    opt_state = tx.init(variables["params"])
+    import optax
+
+    updates, _ = tx.update(grads_j, opt_state, variables["params"])
+    new_params_j = optax.apply_updates(variables["params"], updates)
+    # compare UPDATES, not params: lr≈1e-4 updates sit ~4 orders below the
+    # weights, a per-param comparison would hide real drift under the weight
+    # magnitude
+    upd_t = jax.tree.map(
+        lambda new, old: np.asarray(new) - np.asarray(old),
+        new_param_tree_t, to_plain(variables["params"]),
+    )
+    upd_j = jax.tree.map(
+        lambda new, old: np.asarray(new) - np.asarray(old),
+        to_plain(jax.device_get(new_params_j)), to_plain(variables["params"]),
+    )
+    # Params with ANALYTICALLY zero gradients (a conv bias absorbed by the
+    # following train-mode BatchNorm's mean subtraction, key-projection
+    # biases cancelled by softmax) get updates of lr·noise/(√noise²+ε) —
+    # pure autograd-residue amplification, incomparable across frameworks.
+    # Detect them from the torch grads and check only that both sides'
+    # updates are immaterial (<1e-3 of the max update).
+    flat_g = flatten(to_plain(grad_tree))
+    g_global = max(float(np.abs(np.asarray(v)).max()) for v in flat_g.values())
+    analytic_zero = {
+        "/".join(k)
+        for k, v in flat_g.items()
+        if float(np.abs(np.asarray(v)).max()) < 1e-9 * g_global
+        and not any(m in "/".join(k) for m in ZERO_GRAD_MARKERS)
+    }
+    print(f"  analytic-zero-grad params (magnitude-only update check): "
+          f"{sorted(analytic_zero)}")
+    flat_ut = flatten(to_plain(upd_t))
+    flat_uj = flatten(to_plain(upd_j))
+    u_global = max(float(np.abs(np.asarray(v)).max()) for v in flat_ut.values())
+    for k in list(flat_ut):
+        if "/".join(k) in analytic_zero:
+            a = float(np.abs(np.asarray(flat_ut.pop(k))).max())
+            b = float(np.abs(np.asarray(flat_uj.pop(k))).max())
+            if a > 1e-3 * u_global or b > 1e-3 * u_global:
+                print(f"  [FAIL] adamw.update/{'/'.join(k)}: noise-grad "
+                      f"update not immaterial (torch {a:.2e} jax {b:.2e})")
+                ok = False
+    ok &= compare_tree(
+        "adamw.update", unflatten(flat_ut), unflatten(flat_uj), tol, report,
+        zero_markers=ZERO_GRAD_MARKERS, floor_frac=1e-4,
+    )
+
+    if args.golden and ok:
+        golden = {
+            "input": inputs_np[0].astype(np.float32),
+            "gt": gt_t.numpy().astype(np.float32),
+            "epoch": np.asarray(args.epoch),
+            "loss_sparse": np.asarray(float(sparse_t)),
+            "loss_dense": np.asarray(float(dense_t)),
+            "bn_momentum": np.asarray(bnm_torch),
+        }
+        for k, v in flatten(to_plain(variables["params"])).items():
+            golden["param//" + "/".join(k)] = np.asarray(v, np.float32)
+        for k, v in flatten(to_plain(variables["batch_stats"])).items():
+            golden["stats//" + "/".join(k)] = np.asarray(v, np.float32)
+        for k, v in flatten(to_plain(grad_tree)).items():
+            golden["grad//" + "/".join(k)] = np.asarray(v, np.float32)
+        for k, v in flatten(to_plain(upd_t)).items():
+            golden["update//" + "/".join(k)] = np.asarray(v, np.float32)
+        for k, v in flatten(to_plain(stats_after_t)).items():
+            golden["newstats//" + "/".join(k)] = np.asarray(v, np.float32)
+        os.makedirs(os.path.dirname(args.golden), exist_ok=True)
+        np.savez_compressed(args.golden, **golden)
+        print(f"golden written: {args.golden} ({len(golden)} arrays)")
+
+    worst = max(report, key=lambda r: r[1])
+    print(f"worst block: {worst[0]} rel-delta {worst[1]:.3e}")
+    if not ok:
+        sys.exit(1)
+    print("GRAD PARITY OK")
+
+
+def _convert_tree(sd_like, model_cfg, kind):
+    """Run a state_dict-shaped mapping through the weight converter,
+    returning (params tree, batch_stats tree) in flax layout."""
+    from imgadapointr_tpu.tools.convert_torch import (
+        convert_adapointr,
+        convert_img_adapointr,
+    )
+
+    convert = convert_img_adapointr if kind == "img" else convert_adapointr
+    res = convert(sd_like, model_cfg)
+    return res["params"], res["batch_stats"]
+
+
+if __name__ == "__main__":
+    main()

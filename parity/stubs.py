@@ -27,6 +27,7 @@ from __future__ import annotations
 import sys
 import types
 
+import numpy as np
 import torch
 import torch.nn as nn
 import torch.nn.functional as F
@@ -100,7 +101,10 @@ def ball_query(radius: float, nsample: int, xyz: torch.Tensor, new_xyz: torch.Te
 
 # ------------------------------------------------------------ chamfer (CPU)
 def _nn_sqdist(x, y):
-    d = torch.cdist(x.float(), y.float()) ** 2
+    # input dtype (fp64 under --double) and diff-form distances: the f32
+    # cast + matmul-form cdist previously made the STUB the least precise
+    # link in the fp64 gradient-parity chain (~1e-6 rel grad noise)
+    d = torch.cdist(x, y, compute_mode="donot_use_mm_for_euclid_dist") ** 2
     return d.min(-1)[0], d.transpose(1, 2).min(-1)[0]
 
 
@@ -295,6 +299,31 @@ def install_stubs():
     timm.models.layers = _module(
         "timm.models.layers", DropPath=DropPath, trunc_normal_=trunc_normal_
     )
+
+    class CosineLRScheduler:  # import-only (reference tools/builder.py:6)
+        def __init__(self, *a, **k):
+            raise NotImplementedError("CosLR not exercised by the parity harness")
+
+    timm.scheduler = _module("timm.scheduler", CosineLRScheduler=CosineLRScheduler)
+
+    # open3d: import-only (reference utils/io_module.py:3 — pulled in via
+    # `from datasets import ...` when loading the reference tools/builder)
+    o3d = _module("open3d")
+    o3d.io = _module("open3d.io")
+    o3d.geometry = _module("open3d.geometry")
+    o3d.utility = _module("open3d.utility")
+
+    # transforms3d: real mirror math (reference datasets/data_transforms.py:
+    # 95-100 uses zooms.zfdir2mat for the RandomMirrorPoints reflections)
+    def zfdir2mat(factor, direction=None):
+        if direction is None:
+            return np.eye(3) * 1.0
+        d = np.asarray(direction, dtype=float)
+        d = d / np.linalg.norm(d)
+        return np.eye(3) - (1.0 - factor) * np.outer(d, d)
+
+    t3d = _module("transforms3d")
+    t3d.zooms = _module("transforms3d.zooms", zfdir2mat=zfdir2mat)
 
     # torchvision
     tv = _module("torchvision")

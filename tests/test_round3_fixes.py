@@ -1,0 +1,219 @@
+"""Round-3 fixes: ignore_zeros metric parity, per-sample F-score, strict
+train-batch sharding, declarative train_aug selection, gridding_loss span."""
+
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from imgadapointr_tpu.ops.gridding import gridding_loss
+from imgadapointr_tpu.parallel.mesh import make_mesh, shard_batch
+from imgadapointr_tpu.utils.config import AttrDict
+from imgadapointr_tpu.utils.metrics import compute_metrics, f_score
+
+
+def _brute_cd(pred, gt):
+    """Reference chamfer on already-stripped clouds: L1 = (mean sqrt d1 +
+    mean sqrt d2)/2, L2 = mean d1 + mean d2 (extensions/chamfer_dist)."""
+    d = np.sum((pred[:, None] - gt[None]) ** 2, axis=-1)
+    d1, d2 = d.min(1), d.min(0)
+    l1 = (np.mean(np.sqrt(d1)) + np.mean(np.sqrt(d2))) / 2
+    l2 = np.mean(d1) + np.mean(d2)
+    return l1, l2
+
+
+def test_ignore_zeros_golden_bs1():
+    """Zero-padded bs=1 batch: compute_metrics(ignore_zeros=True) must match
+    the reference ChamferDistance*(ignore_zeros=True) value — i.e. the CD of
+    the stripped clouds (reference extensions/chamfer_dist/__init__.py:37-41,
+    utils/metrics.py:26,33)."""
+    rng = np.random.RandomState(0)
+    pred_real = rng.randn(100, 3).astype(np.float32) * 0.3
+    gt_real = rng.randn(140, 3).astype(np.float32) * 0.3
+    pred = np.zeros((1, 128, 3), np.float32)
+    gt = np.zeros((1, 160, 3), np.float32)
+    pred[0, :100] = pred_real
+    gt[0, :140] = gt_real
+
+    want_l1, want_l2 = _brute_cd(pred_real, gt_real)
+    _, cdl1, cdl2, _ = compute_metrics(
+        jnp.asarray(pred), jnp.asarray(gt), ignore_zeros=True
+    )
+    np.testing.assert_allclose(float(cdl1), want_l1 * 1000, rtol=1e-5)
+    np.testing.assert_allclose(float(cdl2), want_l2 * 1000, rtol=1e-5)
+
+    # without the flag the padded origin points poison the means (this is
+    # exactly the silent divergence the flag exists to prevent)
+    _, raw_l1, _, _ = compute_metrics(jnp.asarray(pred), jnp.asarray(gt))
+    assert abs(float(raw_l1) - want_l1 * 1000) > 1e-3
+
+
+def test_ignore_zeros_noop_on_dense_clouds():
+    """PCN-style fully dense clouds: the flag must change nothing."""
+    rng = np.random.RandomState(1)
+    pred = jnp.asarray(rng.randn(1, 64, 3).astype(np.float32))
+    gt = jnp.asarray(rng.randn(1, 96, 3).astype(np.float32))
+    a = compute_metrics(pred, gt)
+    b = compute_metrics(pred, gt, ignore_zeros=True)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(float(x), float(y), rtol=1e-6)
+
+
+def test_f_score_per_sample_and_masked():
+    rng = np.random.RandomState(2)
+    pred = jnp.asarray(rng.randn(3, 64, 3).astype(np.float32) * 0.1)
+    gt = jnp.asarray(rng.randn(3, 64, 3).astype(np.float32) * 0.1)
+    per = f_score(pred, gt, reduce=False)
+    assert per.shape == (3,)
+    np.testing.assert_allclose(float(jnp.mean(per)), float(f_score(pred, gt)), rtol=1e-6)
+
+    # masked: zero-padding a cloud and masking it must equal the unpadded F
+    base = float(f_score(pred[:1], gt[:1]))
+    pred_pad = jnp.concatenate([pred[:1], jnp.zeros((1, 32, 3))], axis=1)
+    w = jnp.concatenate([jnp.ones((1, 64)), jnp.zeros((1, 32))], axis=1)
+    masked = float(f_score(pred_pad, gt[:1], w_pred=w))
+    np.testing.assert_allclose(masked, base, rtol=1e-6)
+    # unmasked padded F differs (padded origin points count as hits/misses)
+    assert abs(float(f_score(pred_pad, gt[:1])) - base) > 1e-6
+
+
+def test_shard_batch_strict_rejects_indivisible():
+    mesh = make_mesh()  # 8 virtual CPU devices
+    bad = {"partial": np.zeros((3, 8, 3), np.float32)}
+    with pytest.raises(ValueError, match="does not divide"):
+        shard_batch(bad, mesh, strict=True)
+    # non-strict (eval) path still replicates bs=1 silently
+    out = shard_batch({"partial": np.zeros((1, 8, 3), np.float32)}, mesh)
+    assert out["partial"].shape == (1, 8, 3)
+    # divisible batches pass strict
+    ok = shard_batch({"partial": np.zeros((8, 4, 3), np.float32)}, mesh, strict=True)
+    assert ok["partial"].shape == (8, 4, 3)
+
+
+def _runner_with_train_cfg(train_cfg):
+    from imgadapointr_tpu.tools.runner import Runner
+
+    config = AttrDict(
+        {
+            "dataset": {"train": train_cfg},
+            "model": {
+                "NAME": "FoldingNet", "num_pred": 64, "encoder_channel": 32,
+            },
+        }
+    )
+    return Runner(types.SimpleNamespace(tp=1), config)
+
+
+def test_train_aug_explicit_overrides_name():
+    # ShapeNet-named dataset, but config says none → no crop branch
+    r = _runner_with_train_cfg(
+        {"train_aug": "none", "NAME": "ShapeNet55", "N_POINTS": 8192}
+    )
+    assert not r.shapenet_train_crop and not r.cars_dropping
+
+    # PCN-named dataset with explicit crop → crop branch on
+    r = _runner_with_train_cfg(
+        {"train_aug": "crop", "NAME": "PCN", "N_POINTS": 8192}
+    )
+    assert r.shapenet_train_crop
+
+
+def test_train_aug_inferred_back_compat():
+    r = _runner_with_train_cfg({"NAME": "ShapeNet55", "N_POINTS": 8192})
+    assert r.shapenet_train_crop  # inferred, reference behaviour
+    r = _runner_with_train_cfg({"NAME": "PCN", "CARS": True, "N_POINTS": 8192})
+    assert r.cars_dropping
+    r = _runner_with_train_cfg({"NAME": "PCN", "N_POINTS": 8192})
+    assert r.train_aug == "none"
+    with pytest.raises(ValueError, match="train_aug"):
+        _runner_with_train_cfg({"train_aug": "bogus", "NAME": "PCN"})
+
+
+def test_eval_metric_suite_matches_separate_metrics():
+    """The shared-pass eval suite must reproduce f_score/chamfer_l1/
+    chamfer_l2 exactly (on CPU both run the exact selection path)."""
+    from imgadapointr_tpu.ops import chamfer_l1, chamfer_l2
+    from imgadapointr_tpu.utils.metrics import eval_metric_suite
+
+    rng = np.random.RandomState(4)
+    pred = jnp.asarray(rng.randn(2, 128, 3).astype(np.float32) * 0.2)
+    gt = jnp.asarray(rng.randn(2, 160, 3).astype(np.float32) * 0.2)
+    f, l1, l2 = eval_metric_suite(pred, gt)
+    np.testing.assert_allclose(float(f), float(f_score(pred, gt)), rtol=1e-6)
+    np.testing.assert_allclose(float(l1), float(chamfer_l1(pred, gt)) * 1000, rtol=1e-6)
+    np.testing.assert_allclose(float(l2), float(chamfer_l2(pred, gt)) * 1000, rtol=1e-6)
+
+
+def test_train_loss_path_never_uses_eval_chamfer(monkeypatch):
+    """The MXU eval selection kernel must be unreachable from the training
+    loss: poison nn_distance_eval and take a full loss+grad — must pass."""
+    import imgadapointr_tpu.ops as ops_pkg
+    import imgadapointr_tpu.ops.chamfer as chamfer_mod
+    from imgadapointr_tpu.models.build import build_model_spec
+
+    def boom(*a, **k):
+        raise AssertionError("nn_distance_eval reached from the train path")
+
+    monkeypatch.setattr(chamfer_mod, "nn_distance_eval", boom)
+    monkeypatch.setattr(ops_pkg, "nn_distance_eval", boom)
+
+    cfg = AttrDict(
+        {
+            "NAME": "AdaPoinTr", "num_query": 16, "num_points": 64,
+            "center_num": [32, 16], "global_feature_dim": 64,
+            "encoder_type": "graph", "decoder_type": "fc",
+            "encoder_config": {
+                "embed_dim": 48, "depth": 1, "num_heads": 6, "k": 4,
+                "n_group": 2, "mlp_ratio": 2.0,
+                "block_style_list": ["attn"], "combine_style": "concat",
+            },
+            "decoder_config": {
+                "embed_dim": 48, "depth": 1, "num_heads": 6, "k": 4,
+                "n_group": 2, "mlp_ratio": 2.0,
+                "self_attn_block_style_list": ["attn"],
+                "self_attn_combine_style": "concat",
+                "cross_attn_block_style_list": ["attn"],
+                "cross_attn_combine_style": "concat",
+            },
+        }
+    )
+    spec = build_model_spec(cfg)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 128, 3))
+    gt = jax.random.normal(key, (2, 64, 3))
+    variables = spec.module.init(
+        {"params": key, "noise": key, "dropout": key}, x, train=True
+    )
+
+    def loss(params):
+        ret, _ = spec.module.apply(
+            {"params": params, "batch_stats": variables.get("batch_stats", {})},
+            x, train=True, rngs={"noise": key, "dropout": key},
+            mutable=["batch_stats"],
+        )
+        s, d = spec.loss_fn(ret, gt, jnp.asarray(0.0))
+        return s + d
+
+    g = jax.grad(loss)(variables["params"])
+    assert np.isfinite(float(jax.tree.leaves(g)[0].sum()))
+
+
+def test_gridding_loss_span_invariance():
+    """For clouds that fit both buffers, a larger span must not change the
+    loss (the mean uses the dynamic element count, not the buffer size) —
+    and span must be plumbed through gridding_loss (ADVICE round 2)."""
+    rng = np.random.RandomState(3)
+    pred = jnp.asarray(rng.uniform(-0.9, 0.9, (2, 64, 3)).astype(np.float32))
+    gt = jnp.asarray(rng.uniform(-0.9, 0.9, (2, 64, 3)).astype(np.float32))
+    a = float(gridding_loss(pred, gt, [16], [1.0]))
+    b = float(gridding_loss(pred, gt, [16], [1.0], span=4.0))
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+
+    # clouds escaping [-1,1]: default span truncates (flagged via
+    # jax.debug.print), a big-enough span recovers the exact loss
+    pred2, gt2 = pred * 1.8, gt * 1.8
+    big = float(gridding_loss(pred2, gt2, [16], [1.0], span=8.0))
+    bigger = float(gridding_loss(pred2, gt2, [16], [1.0], span=12.0))
+    np.testing.assert_allclose(big, bigger, rtol=1e-6)
