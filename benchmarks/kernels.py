@@ -126,6 +126,50 @@ def main():
             f"idx={m:.6f} gap={gap:.1e} [{status}]"
         )
 
+    print("== MXU eval-selection kernel (OPT-IN eval path; measured round 3:")
+    print("   only 1.16x vs exact — both kernels are VPU-bookkeeping-bound —")
+    print("   so ops.nn_distance_eval defaults to EXACT selection) ==")
+    from imgadapointr_tpu.ops.chamfer import nn_distance_eval
+    from imgadapointr_tpu.ops.pallas.nn_distance import nn_argmin_bidir_mxu
+
+    for B, N, M in [(4, 4096, 4096), (1, 8192, 16384)]:
+        x = sphere(key, B, N)
+        y = sphere(jax.random.PRNGKey(3), B, M)
+        i1_ref, i2_ref = nn_argmin_bidir_exact(x, y)
+        i1, i2 = nn_argmin_bidir_mxu(x, y)
+        xn, yn = np.asarray(x, np.float64), np.asarray(y, np.float64)
+
+        def dsel64(q, r, idx):
+            g = np.take_along_axis(r, np.asarray(idx)[..., None], axis=1)
+            return ((q - g) ** 2).sum(-1)
+
+        # selection may differ, but only inside the documented band: the
+        # SELECTED distance must be within ~2e-5 relative of the true min
+        d1_got, d1_true = dsel64(xn, yn, i1), dsel64(xn, yn, i1_ref)
+        d2_got, d2_true = dsel64(yn, xn, i2), dsel64(yn, xn, i2_ref)
+        band = max(
+            float(np.abs(np.sqrt(d1_got) - np.sqrt(d1_true)).max()),
+            float(np.abs(np.sqrt(d2_got) - np.sqrt(d2_true)).max()),
+        )
+        # CD-L1-style mean over exact-recomputed selected distances: the
+        # metric the band actually feeds
+        cd_got = (np.sqrt(d1_got).mean() + np.sqrt(d2_got).mean()) / 2
+        cd_true = (np.sqrt(d1_true).mean() + np.sqrt(d2_true).mean()) / 2
+        cd_delta = abs(cd_got - cd_true) * 1000  # ×1000 display scale
+        # measured band (round 3): sel ~4e-4..1.1e-3 sqrt-abs on dense unit
+        # clouds; the x1000-CD delta (the metric the band feeds) stays <1e-3
+        status = "OK" if (band < 2e-3 and cd_delta < 2e-3) else "FAIL"
+        ok &= band < 2e-3 and cd_delta < 2e-3
+        print(f"  mxu-eval B={B} N={N} M={M}: sel-band={band:.1e} "
+              f"x1000-CD delta={cd_delta:.2e} [{status}]")
+
+    # full eval entry: exact distance recompute from banded indices
+    d1e, d2e, _, _ = nn_distance_eval(x, y)
+    d1x, _ = nn_one_direction_pallas(x, y)
+    rel = float(jnp.abs(jnp.sqrt(d1e) - jnp.sqrt(d1x)).max())
+    print(f"  nn_distance_eval dist vs exact: max sqrt-delta {rel:.1e}")
+    ok &= rel < 1e-4
+
     # identical clouds: selected distance must collapse to ~0 (exact
     # recompute path) — the bf16-sensitivity probe from CLAUDE.md
     xi = jax.random.normal(key, (2, 4096, 3))
@@ -137,7 +181,9 @@ def main():
 
     def piped(name, f, *args, iters=20):
         s = f(*args, jnp.float32(0))
-        jax.block_until_ready(s)
+        # fence warmup with a scalar fetch — block_until_ready does not
+        # fence over the remote-TPU tunnel (CLAUDE.md)
+        float(s)
         t = time.time()
         s = jnp.float32(0)
         for _ in range(iters):
@@ -151,6 +197,16 @@ def main():
     xg = jax.random.normal(key, (64, 16384, 3))
     yg = jax.random.normal(key, (64, 16384, 3))
     piped("chamfer_l1 64x16384^2 fwd (pallas)", jax.jit(lambda a, b, s: s + ops.chamfer_l1(a, b)), xg, yg)
+    xe = jax.random.normal(key, (16, 16384, 3))
+    ye = jax.random.normal(key, (16, 16384, 3))
+    piped(
+        "nn_distance (exact, train) 16x16384^2",
+        jax.jit(lambda a, b, s: s + jnp.sum(ops.nn_distance(a, b)[0])), xe, ye,
+    )
+    piped(
+        "nn_distance_eval (MXU) 16x16384^2",
+        jax.jit(lambda a, b, s: s + jnp.sum(ops.nn_distance_eval(a, b)[0])), xe, ye,
+    )
 
     print("PASS" if ok else "FAIL")
     sys.exit(0 if ok else 1)

@@ -214,6 +214,132 @@ def nn_argmin_bidir_exact(
     return i1, i2
 
 
+def _nn_bidir_mxu_kernel(
+    x_ref, y_ref, xsq_ref, ysq_ref, rowidx_ref, colidx_ref, colmin_ref, tm: int
+):
+    """Bidirectional argmin with MXU matmul-form distances — EVAL ONLY.
+
+    ``d̃ = |x|² − 2·x·y + |y|²`` with the cross term as a 3-way bf16 hi-lo
+    split accumulated in f32 (x·y exact to ~2⁻²⁴·|x||y|). The remaining
+    ~2⁻²⁵·(|x|²+|y|²) cancellation floor of the f32 sums puts selection in a
+    ~2e-5 relative band around the true argmin on dense unit clouds —
+    METRIC-safe (CD means move <1e-6 relative when the caller recomputes
+    exact distances from the returned indices) but TRAIN-unsafe: on pred≈gt
+    clouds the band flips near-tie selections and measurably slows
+    convergence (benchmarks/RESULTS.md "Negative results": CD-L1 15.2 vs
+    12.3 at epoch 20). Reachable only through ops.chamfer.nn_distance_eval;
+    the loss path keeps the diff-form exact kernels.
+    """
+    tn = x_ref.shape[0]
+    Mp = y_ref.shape[1]
+    m_chunks = Mp // tm
+    n = pl.program_id(1)
+
+    @pl.when(n == 0)
+    def _():
+        colmin_ref[...] = jnp.full(colmin_ref.shape, _BIG)
+        colidx_ref[...] = jnp.zeros(colidx_ref.shape, jnp.int32)
+
+    x32 = x_ref[...]  # (TN, 8), coord cols 0:3, zero-padded cols
+    x_hi = x32.astype(jnp.bfloat16)
+    x_lo = (x32 - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    xsq = xsq_ref[...]  # (TN, 1)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (tn, tm), 0) + n * tn
+    IBIG = jnp.int32(0x7FFFFFFF)
+
+    def chunk(ci, carry):
+        best_d, best_i = carry
+        ms = pl.ds(pl.multiple_of(ci * tm, tm), tm)
+        yt = y_ref[:, ms]  # (8, tm) f32
+        y_hi = yt.astype(jnp.bfloat16)
+        y_lo = (yt - y_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        cross = (
+            jnp.dot(x_hi, y_hi, preferred_element_type=jnp.float32)
+            + jnp.dot(x_hi, y_lo, preferred_element_type=jnp.float32)
+            + jnp.dot(x_lo, y_hi, preferred_element_type=jnp.float32)
+        )
+        d = xsq - 2.0 * cross + ysq_ref[0:1, ms]
+        col = jax.lax.broadcasted_iota(jnp.int32, (tn, tm), 1) + ci * tm
+        cmin = jnp.min(d, axis=1, keepdims=True)
+        camin = jnp.min(jnp.where(d == cmin, col, IBIG), axis=1, keepdims=True)
+        upd = cmin < best_d
+        best_d = jnp.where(upd, cmin, best_d)
+        best_i = jnp.where(upd, camin, best_i)
+        dmin_c = jnp.min(d, axis=0, keepdims=True)
+        amin_c = jnp.min(jnp.where(d == dmin_c, row_ids, IBIG), axis=0, keepdims=True)
+        prev = colmin_ref[0:1, ms]
+        updc = dmin_c < prev
+        colmin_ref[0:1, ms] = jnp.where(updc, dmin_c, prev)
+        colidx_ref[0:1, ms] = jnp.where(updc, amin_c, colidx_ref[0:1, ms])
+        return best_d, best_i
+
+    init = (jnp.full((tn, 1), _BIG), jnp.zeros((tn, 1), jnp.int32))
+    _, best_i = jax.lax.fori_loop(0, m_chunks, chunk, init)
+    rowidx_ref[...] = best_i.reshape(tn // 128, 128)
+
+
+def nn_argmin_bidir_mxu(
+    x: jax.Array, y: jax.Array, tile_n: int = 1024, tile_m: int = 1024
+):
+    """(i1, i2) via MXU matmul-form distances — EVAL-METRICS ONLY.
+
+    ~2e-5 relative selection band (see kernel docstring); callers must
+    recompute exact distances from the indices. Never use for training.
+    """
+    B, N, _ = x.shape
+    M = y.shape[1]
+    TN = min(tile_n, max(1024, N))
+    pad_n = (-N) % TN
+    Npad = N + pad_n
+    pad_m128 = (-M) % 128
+    TM = min(tile_m, M + pad_m128)
+    pad_m = (-M) % TM
+    Mp = M + pad_m
+
+    # coords zero-padded in the extra COLUMNS (so the 8-dim matmul equals
+    # the 3-dim cross term); out-of-range ROWS get 1e9 coords so their
+    # distances are huge and never win the opposite direction's argmin
+    xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, pad_n), (0, 5)))
+    if pad_n:
+        row = jnp.arange(Npad)[None, :, None]
+        xp = jnp.where(row < N, xp, jnp.where(jnp.arange(8) < 3, 1e9, 0.0))
+    yt = jnp.transpose(y.astype(jnp.float32), (0, 2, 1))
+    yt = jnp.pad(yt, ((0, 0), (0, 5), (0, 0)))
+    if pad_m:
+        colv = jnp.arange(Mp)[None, None, :]
+        yt = jnp.pad(yt, ((0, 0), (0, 0), (0, pad_m)))
+        yt = jnp.where(
+            colv < M, yt, jnp.where(jnp.arange(8)[None, :, None] < 3, 1e9, 0.0)
+        )
+    xsq = jnp.sum(xp[..., :3] * xp[..., :3], axis=-1, keepdims=True)  # (B, Npad, 1)
+    ysq = jnp.sum(yt[:, :3] * yt[:, :3], axis=1, keepdims=True)  # (B, 1, Mp)
+
+    rows = TN // 128
+    i1, i2, _ = pl.pallas_call(
+        functools.partial(_nn_bidir_mxu_kernel, tm=TM),
+        grid=(B, Npad // TN),
+        in_specs=[
+            pl.BlockSpec((None, TN, 8), lambda b, n: (b, n, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 8, Mp), lambda b, n: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, TN, 1), lambda b, n: (b, n, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, Mp), lambda b, n: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((None, rows, 128), lambda b, n: (b, n, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, Mp), lambda b, n: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, Mp), lambda b, n: (b, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Npad // 128, 128), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, Mp), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, Mp), jnp.float32),
+        ),
+    )(xp, yt, xsq, ysq)
+    i1 = jnp.minimum(i1.reshape(B, Npad)[:, :N], M - 1)
+    i2 = jnp.minimum(i2.reshape(B, Mp)[:, :M], N - 1)
+    return i1, i2
+
+
 def _knn_kernel(q_ref, r_ref, idx_ref, dist_ref, ts: int, k: int, n_valid_r: int):
     # q_ref: (Sp, 8); r_ref: (8, Mp); outputs (Sp, kpad)
     Sp = q_ref.shape[0]
