@@ -57,7 +57,7 @@ class PCTransformer(nn.Module):
 
         # --- grouper front end ---
         if encoder_type == "graph":
-            coor, f = DGCNNGrouper(k=16, name="grouper")(xyz, center_num)
+            coor, f = DGCNNGrouper(k=16, name="grouper")(xyz, center_num, train=train)
         else:
             coor, f = SimpleEncoder(k=32, embed_dims=512, name="grouper")(
                 xyz, center_num, use_running_average=deterministic,

@@ -51,11 +51,33 @@ class DGCNNGrouper(nn.Module):
         return jnp.max(f, axis=2)
 
     @nn.compact
-    def __call__(self, x, num: Sequence[int]):
+    def __call__(self, x, num: Sequence[int], train: bool = False):
         coor = x  # (B, N, 3)
-        f = dense(8, name="input_trans")(x)
+        input_trans = dense(8, name="input_trans")
+        f = input_trans(x)
 
-        f = self._edge_layer(self._graph_feature(coor, f, coor, f), 32, "layer1")
+        if train:
+            # Layer 1, TRAIN form: commute the pointwise input linear past
+            # the neighbour gather — gather(dense(x), idx) ==
+            # dense(gather(x, idx)) exactly (same dot per output element),
+            # but the backward changes from a (B, N, k, 8)→(B, N, 8)
+            # scatter-add (the single most expensive op of the grouper
+            # backward in the train-step trace, ~7 ms at the paper recipe)
+            # into a plain matmul reduction for dW: the gathered operand is
+            # the raw input cloud, which needs no gradient, so NO scatter
+            # remains. dense() shares parameters with f above. Measured:
+            # train step 133.8 → 125.8 ms; convergence-gate pass at CD-L1
+            # 11.82 @ep20 (band 12.3±0.4).
+            idx = knn_point(self.k, coor, coor)  # (B, N, k)
+            nbr = input_trans(index_points(coor, idx))  # == index_points(f, idx)
+            xq = jnp.broadcast_to(f[:, :, None], nbr.shape)
+            feat = jnp.concatenate([nbr - xq, xq], axis=-1)
+        else:
+            # EVAL form: gather the 8-d features directly — the commuted
+            # form costs ~+3 ms at eval bs32 (extra dense materialisation
+            # with no backward to save); the two forms are bit-identical.
+            feat = self._graph_feature(coor, f, coor, f)
+        f = self._edge_layer(feat, 32, "layer1")
         coor_q, f_q = self._fps_downsample(coor, f, num[0])
         f = self._edge_layer(self._graph_feature(coor_q, f_q, coor, f), 64, "layer2")
         coor = coor_q

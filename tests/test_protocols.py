@@ -180,6 +180,11 @@ def test_kitti_protocol(tiny_runner):
 def test_prefetch_preserves_order_and_content(tiny_runner):
     runner, state, args, config = tiny_runner
     loader = _FakeLoader(n=5)
+    # prefetch is the TRAIN path → strict sharding: batches must divide the
+    # 8-device virtual mesh (bs=1 eval batches go through eval_step instead)
+    for _, _, b in loader.batches:
+        for k in b:
+            b[k] = np.tile(b[k], (8, 1, 1))
     out = list(runner.prefetch(iter(loader), depth=3))
     assert [m for _, m, _ in out] == [m for _, m, _ in loader.batches]
     for (_, _, got), (_, _, want) in zip(out, loader.batches):
