@@ -170,6 +170,27 @@ def main():
     print(f"  nn_distance_eval dist vs exact: max sqrt-delta {rel:.1e}")
     ok &= rel < 1e-4
 
+    print("== fused 3-NN interpolate kernel (deformable attn / SnowFlakeNet) ==")
+    from imgadapointr_tpu.ops.pallas.nn_distance import three_nn_interpolate_pallas
+    from imgadapointr_tpu.ops.pointops import three_interpolate, three_nn
+
+    # decoder deformable shapes: (B·g, N·k, 3) queries vs (B·g, M, 3)
+    for B, S, M, C in [(32, 4608, 576, 192), (16, 2048, 512, 128)]:
+        q = jax.random.normal(key, (B, S, 3))
+        r = jax.random.normal(jax.random.PRNGKey(5), (B, M, 3))
+        f = jax.random.normal(jax.random.PRNGKey(6), (B, M, C))
+        d_ref, i_ref = three_nn(q, r)
+        rec = 1.0 / (d_ref + 1e-8)
+        w_ref = rec / jnp.sum(rec, -1, keepdims=True)
+        want = three_interpolate(f, i_ref, w_ref)
+        got, idx, _ = three_nn_interpolate_pallas(q, r, f)
+        im = float((idx == i_ref).mean())
+        rel = float(jnp.abs(got - want).max() / jnp.abs(want).max())
+        status = "OK" if (im == 1.0 and rel < 1e-4) else "FAIL"
+        ok &= im == 1.0 and rel < 1e-4
+        print(f"  fused-interp B={B} S={S} M={M} C={C}: idx={im:.4f} "
+              f"out-rel={rel:.1e} [{status}]")
+
     # identical clouds: selected distance must collapse to ~0 (exact
     # recompute path) — the bf16-sensitivity probe from CLAUDE.md
     xi = jax.random.normal(key, (2, 4096, 3))
@@ -206,6 +227,22 @@ def main():
     piped(
         "nn_distance_eval (MXU) 16x16384^2",
         jax.jit(lambda a, b, s: s + jnp.sum(ops.nn_distance_eval(a, b)[0])), xe, ye,
+    )
+    qd = jax.random.normal(key, (32, 4608, 3))
+    rd = jax.random.normal(key, (32, 576, 3))
+    fd = jax.random.normal(key, (32, 576, 192))
+
+    def xla_interp(q, r, f, s):
+        d, i = three_nn(q, r)
+        rec = 1.0 / (d + 1e-8)
+        w = rec / jnp.sum(rec, -1, keepdims=True)
+        return s + jnp.sum(three_interpolate(f, i, w))
+
+    piped("3nn-interp XLA chain 32x4608x576x192", jax.jit(xla_interp), qd, rd, fd)
+    piped(
+        "3nn-interp fused kernel 32x4608x576x192",
+        jax.jit(lambda q, r, f, s: s + jnp.sum(three_nn_interpolate_pallas(q, r, f)[0])),
+        qd, rd, fd,
     )
 
     print("PASS" if ok else "FAIL")

@@ -367,6 +367,109 @@ def _knn_kernel(q_ref, r_ref, idx_ref, dist_ref, ts: int, k: int, n_valid_r: int
     jax.lax.fori_loop(0, s_tiles, stile, 0)
 
 
+def _three_interp_kernel(
+    q_ref, r_ref, f_ref, out_ref, idx_ref, w_ref, n_valid_r: int, eps: float
+):
+    """Fused 3-NN + inverse-distance interpolation (one query tile).
+
+    (TS, Mp) diff-form distances in VMEM, peel the 3 nearest (exact
+    selection, first-index ties — same arithmetic as ``_knn_kernel``),
+    reciprocal-of-euclidean weights, then emit the interpolated features as
+    ONE matmul ``W @ feats`` where W is the (TS, Mp) sparse weight-row
+    matrix (3 nonzeros/row) — replacing the (B, S, 3, C) gather
+    materialisation of the XLA chain. Weights/feats contract at HIGHEST
+    precision (activations; bf16 noise here is a training-dynamics risk
+    per RESULTS.md).
+    """
+    ts = q_ref.shape[0]
+    Mp = r_ref.shape[1]
+    d = _dist_tile(
+        q_ref[:, 0:1], q_ref[:, 1:2], q_ref[:, 2:3],
+        r_ref[0:1, :], r_ref[1:2, :], r_ref[2:3, :],
+    )  # (ts, Mp)
+    col = jax.lax.broadcasted_iota(jnp.int32, (ts, Mp), 1)
+    d = jnp.where(col < n_valid_r, d, _BIG)
+    dmins = []
+    amins = []
+    for _ in range(3):
+        dmin = jnp.min(d, axis=1, keepdims=True)
+        amin = jnp.min(jnp.where(d == dmin, col, Mp), axis=1, keepdims=True)
+        dmins.append(dmin)
+        amins.append(amin)
+        d = jnp.where(col == amin, _BIG, d)
+    recips = [1.0 / (jnp.sqrt(jnp.maximum(dm, 0.0)) + eps) for dm in dmins]
+    norm = recips[0] + recips[1] + recips[2]
+    ws = [r / norm for r in recips]
+    W = jnp.zeros((ts, Mp), jnp.float32)
+    for am, w in zip(amins, ws):
+        W = W + jnp.where(col == am, w, 0.0)
+    out_ref[...] = jax.lax.dot(
+        W, f_ref[...], precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    for j, (am, w) in enumerate(zip(amins, ws)):
+        idx_ref[:, j : j + 1] = am
+        w_ref[:, j : j + 1] = w
+
+
+def three_nn_interpolate_pallas(
+    unknown: jax.Array,
+    known: jax.Array,
+    feats: jax.Array,
+    eps: float = 1e-8,
+    interpret: bool = False,
+):
+    """(out (B,S,C), idx (B,S,3), weight (B,S,3)) — fused forward.
+
+    idx/weight are returned for the custom VJP (the backward scatters
+    ``w·g`` into the feature rows exactly like the XLA path).
+    """
+    B, M, _ = known.shape
+    S = unknown.shape[1]
+    C = feats.shape[-1]
+    pad_m = (-M) % 128
+    Mp = M + pad_m
+    pad_c = (-C) % 128
+    Cp = C + pad_c
+    # (TS, Mp) distance tile + (TS, Cp) out tile within ~4MB VMEM
+    TS = max(8, min(1024, (4 * 1024 * 1024) // (4 * (Mp + Cp))))
+    TS = (TS // 8) * 8
+    pad_s = (-S) % TS
+    Sp = S + pad_s
+
+    qp = jnp.pad(unknown.astype(jnp.float32), ((0, 0), (0, pad_s), (0, 5)))
+    rt = jnp.transpose(known.astype(jnp.float32), (0, 2, 1))
+    rt = jnp.pad(rt, ((0, 0), (0, 5), (0, pad_m)), constant_values=1e9)
+    fp = jnp.pad(feats.astype(jnp.float32), ((0, 0), (0, pad_m), (0, pad_c)))
+    kpad = 128  # lane-width padding for the (TS, 3) idx/weight outputs
+
+    out, idx, w = pl.pallas_call(
+        functools.partial(_three_interp_kernel, n_valid_r=M, eps=eps),
+        grid=(B, Sp // TS),
+        in_specs=[
+            pl.BlockSpec((None, TS, 8), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 8, Mp), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, Mp, Cp), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((None, TS, Cp), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, TS, kpad), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, TS, kpad), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Sp, Cp), jnp.float32),
+            jax.ShapeDtypeStruct((B, Sp, kpad), jnp.int32),
+            jax.ShapeDtypeStruct((B, Sp, kpad), jnp.float32),
+        ),
+        interpret=interpret,
+    )(qp, rt, fp)
+    return (
+        out[:, :S, :C],
+        jnp.minimum(idx[:, :S, :3], M - 1),
+        w[:, :S, :3],
+    )
+
+
 def knn_pallas(k: int, xyz: jax.Array, new_xyz: jax.Array):
     """(sqdist, idx) of the k nearest ``xyz`` per ``new_xyz`` query.
 

@@ -163,11 +163,68 @@ def three_nn_interpolate(
     Combines the reference's ``three_nn`` + reciprocal-distance weighting +
     ``three_interpolate`` chain (models/Transformer_utils.py:228-232):
     ``w_i = (1/(d_i+eps)) / Σ_j 1/(d_j+eps)``.
+
+    On TPU, large problems dispatch to ONE Pallas kernel that computes the
+    3-NN in VMEM and emits the interpolation as a sparse-weight-row MXU
+    matmul — the (B, S, 3, C) neighbour-gather never materialises (the
+    deformable-attention and SnowFlakeNet hot path). Differentiable w.r.t.
+    ``feats`` only (positions are stop-gradient, pointnet2 parity).
     """
+    import os
+
+    # OPT-IN until the TPU speed measurement + convergence gate land
+    # (correctness is pinned by tests/test_pallas_kernels.py and the
+    # benchmarks/kernels.py gate): set IMGADAPOINTR_ENABLE_PALLAS_INTERP=1
+    if (
+        jax.default_backend() == "tpu"
+        and unknown.shape[1] * known.shape[1] >= 1 << 20
+        and known.shape[1] <= 4096
+        and feats.shape[-1] <= 1024
+        and os.environ.get("IMGADAPOINTR_ENABLE_PALLAS_INTERP")
+    ):
+        return _three_nn_interpolate_fused(unknown, known, feats, eps)
     dist, idx = three_nn(unknown, known)
     recip = 1.0 / (dist + eps)
     weight = recip / jnp.sum(recip, axis=-1, keepdims=True)
     return three_interpolate(feats, idx, weight)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _three_nn_interpolate_fused(unknown, known, feats, eps):
+    out, _, _ = _fused_interp_impl(unknown, known, feats, eps)
+    return out
+
+
+def _fused_interp_impl(unknown, known, feats, eps):
+    from .pallas.nn_distance import three_nn_interpolate_pallas
+
+    unknown = jax.lax.stop_gradient(unknown)
+    known = jax.lax.stop_gradient(known)
+    return three_nn_interpolate_pallas(unknown, known, feats, eps)
+
+
+def _fused_interp_fwd(unknown, known, feats, eps):
+    out, idx, w = _fused_interp_impl(unknown, known, feats, eps)
+    return out, (idx, w, unknown.shape, known.shape, feats.shape[1])
+
+
+def _fused_interp_bwd(eps, res, g):
+    idx, w, u_shape, k_shape, m_rows = res
+    # dfeats[b, idx[b,s,k], :] += w[b,s,k] * g[b,s,:] — same scatter the
+    # XLA chain's autodiff emits; positions get ZERO gradient (pointnet2
+    # parity: three_nn has no backward; both are stop-gradient upstream)
+    contrib = w[..., None] * g[:, :, None, :]  # (B, S, 3, C)
+
+    def one(i, v):
+        return jnp.zeros((m_rows, v.shape[-1]), v.dtype).at[i.reshape(-1)].add(
+            v.reshape(-1, v.shape[-1])
+        )
+
+    dfeats = jax.vmap(one)(idx, contrib).astype(g.dtype)
+    return jnp.zeros(u_shape, g.dtype), jnp.zeros(k_shape, g.dtype), dfeats
+
+
+_three_nn_interpolate_fused.defvjp(_fused_interp_fwd, _fused_interp_bwd)
 
 
 @functools.partial(jax.jit, static_argnums=(1,))

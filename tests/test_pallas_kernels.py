@@ -86,3 +86,60 @@ def test_knn_pallas_interpret():
         np.asarray(dist), np.take_along_axis(d, want, -1).astype(np.float32), rtol=1e-5
     )
     assert (np.diff(np.asarray(dist), axis=-1) >= -1e-6).all(), "ascending order"
+
+
+def test_three_nn_interpolate_fused_interpret():
+    """Fused 3-NN interp kernel vs the XLA chain: identical selection,
+    f32-level outputs, and the custom VJP reproduces the feats gradient."""
+    from imgadapointr_tpu.ops.pallas.nn_distance import three_nn_interpolate_pallas
+    from imgadapointr_tpu.ops import pointops as po
+
+    rng = np.random.RandomState(1)
+    B, S, M, C = 2, 257, 65, 50
+    unknown = jnp.asarray(rng.randn(B, S, 3), jnp.float32)
+    known = jnp.asarray(rng.randn(B, M, 3), jnp.float32)
+    feats = jnp.asarray(rng.randn(B, M, C), jnp.float32)
+
+    d_ref, i_ref = po.three_nn(unknown, known)
+    recip = 1.0 / (d_ref + 1e-8)
+    w_ref = recip / recip.sum(-1, keepdims=True)
+    want = po.three_interpolate(feats, i_ref, w_ref)
+
+    with pltpu.force_tpu_interpret_mode():
+        got, idx, w = three_nn_interpolate_pallas(unknown, known, feats)
+    assert float((idx == i_ref).mean()) == 1.0
+    # diff-form (kernel) vs matmul-form HIGHEST (XLA) distances differ
+    # in the last f32 bits; sqrt/recip amplifies to ~2e-5 on the weights
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref), atol=1e-4)
+    rel = float(jnp.abs(got - want).max() / jnp.abs(want).max())
+    assert rel < 1e-4
+
+    def loss_ref(f):
+        return jnp.sum(jnp.sin(po.three_interpolate(f, i_ref, w_ref)))
+
+    def loss_fused(f):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(jnp.sin(po._three_nn_interpolate_fused(unknown, known, f, 1e-8)))
+
+    ga = jax.grad(loss_ref)(feats)
+    gb = jax.grad(loss_fused)(feats)
+    assert float(jnp.abs(ga - gb).max() / jnp.abs(ga).max()) < 1e-4
+
+
+def test_mxu_eval_selection_interpret():
+    """MXU eval kernel (opt-in path): selection within the documented band
+    of the exact argmin on dense clouds; padded shapes handled."""
+    from imgadapointr_tpu.ops.pallas.nn_distance import nn_argmin_bidir_mxu
+
+    rng = np.random.RandomState(2)
+    v = rng.randn(2, 300, 3).astype(np.float32)
+    x = jnp.asarray(0.5 * v / np.linalg.norm(v, axis=-1, keepdims=True))
+    v2 = rng.randn(2, 420, 3).astype(np.float32)
+    y = jnp.asarray(0.5 * v2 / np.linalg.norm(v2, axis=-1, keepdims=True))
+    with pltpu.force_tpu_interpret_mode():
+        i1, i2 = nn_argmin_bidir_mxu(x, y)
+    i1_ref, d1_ref = brute_nn(np.asarray(x, np.float64), np.asarray(y, np.float64))
+    # selected distance within the band even when the index differs
+    g = np.take_along_axis(np.asarray(y, np.float64), np.asarray(i1)[..., None], 1)
+    d_sel = ((np.asarray(x, np.float64) - g) ** 2).sum(-1)
+    assert float(np.abs(np.sqrt(d_sel) - np.sqrt(d1_ref)).max()) < 2e-3
