@@ -68,3 +68,67 @@ def test_gallery_reconstruct_path(tmp_path):
     )
     fine = np.asarray(fine)
     assert fine.ndim == 2 and fine.shape[1] == 3 and np.isfinite(fine).all()
+
+
+def test_pcreconstructor_loads_reference_pth(tmp_path):
+    """Serving accepts reference torch checkpoints directly: a .pth in the
+    reference save format ({'base_model': sd}, DDP 'module.' prefixes) is
+    converted by model name at load (demo/pcreconstructor.py)."""
+    import jax
+    import torch
+
+    from demo.pcreconstructor import PCReconstructor
+    from imgadapointr_tpu.models.build import build_model_spec
+    from imgadapointr_tpu.tools.convert_torch import convert_adapointr
+    from imgadapointr_tpu.utils.config import cfg_from_yaml_file
+
+    cfg = cfg_from_yaml_file("cfgs/PCN_models/AdaPoinTr-tiny.yaml").model
+    spec = build_model_spec(cfg)
+    key = jax.random.PRNGKey(3)
+    variables = jax.jit(
+        lambda k: spec.module.init(
+            {"params": k, "noise": k}, jax.numpy.zeros((1, 2048, 3)), train=False
+        )
+    )(key)
+
+    def leaf(tree, path):
+        for p in path:
+            tree = tree[p]
+        return tree
+
+    # synthesize a torch sd from the converter's own mapping (inverse
+    # transforms), so converted values are exactly the flax init values
+    probe = convert_adapointr({}, cfg)
+    sd = {}
+    for tkey, transform, fpaths in probe["mapping"]:
+        try:
+            if transform.startswith("split:"):
+                outs = [np.asarray(leaf(variables["params"], p)) for p in fpaths]
+                sd[tkey] = np.concatenate(outs, axis=0).T.astype(np.float32)
+            elif transform == "linear":
+                sd[tkey] = np.asarray(leaf(variables["params"], fpaths)).T.astype(np.float32)
+            elif transform == "direct:stats":
+                sd[tkey] = np.asarray(leaf(variables["batch_stats"], fpaths)).astype(np.float32)
+            else:
+                sd[tkey] = np.asarray(leaf(variables["params"], fpaths)).astype(np.float32)
+        except KeyError:
+            continue
+    pth = str(tmp_path / "AdaPoinTr.pth")
+    torch.save(
+        {"base_model": {"module." + k: torch.from_numpy(v) for k, v in sd.items()}},
+        pth,
+    )
+
+    rec = PCReconstructor("cfgs/PCN_models/AdaPoinTr-tiny.yaml", pth)
+    # the loaded params equal the synthesized source weights
+    got = leaf(rec.state["params"], ("base_model", "coarse_pred1", "kernel"))
+    want = leaf(variables["params"], ("base_model", "coarse_pred1", "kernel"))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+    pcd = str(tmp_path / "in.pcd")
+    from demo.make_samples import make_sample, write_pcd
+
+    partial, _ = make_sample("x", seed=1)
+    write_pcd(pcd, partial)
+    fine = np.asarray(rec.predict(pcd))
+    assert fine.ndim == 2 and fine.shape[1] == 3 and np.isfinite(fine).all()
