@@ -130,7 +130,11 @@ def summarize(trace_dir, steps, top):
             cat_ms["other"] += ms
     for name, d in dur.most_common(top):
         ms = d / steps / 1000
-        print(f"{ms:8.2f}  {100*ms/max(step_ms,1e-9):5.1f}  {name[:90]}")
+        # the HLO signature (shapes + operands) identifies the op far
+        # better than XLA's anonymous fusion.N names
+        sig = str(args.get(name, {}).get("long_name", ""))
+        sig = sig.split(" = ", 1)[-1][:100]
+        print(f"{ms:8.2f}  {100*ms/max(step_ms,1e-9):5.1f}  {name[:28]:28s} {sig}")
     print("\ncategory rollup:")
     for cat, ms in cat_ms.most_common():
         print(f"{ms:8.2f}  {100*ms/max(step_ms,1e-9):5.1f}  {cat}")

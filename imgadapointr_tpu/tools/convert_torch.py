@@ -479,6 +479,64 @@ def convert_seg_adapointr(torch_state: Dict[str, np.ndarray], config,
     return res
 
 
+def export_adapointr_torch(params, batch_stats, config) -> Dict[str, np.ndarray]:
+    """INVERSE conversion: flax AdaPoinTr tree → a reference-format torch
+    state dict (models/external/AdaPoinTr.py layout).
+
+    Lets a model trained here be loaded back into the reference stack
+    (``torch.save({'base_model': {k: torch.tensor(v)}}, ...)``) for
+    comparison or serving. Driven by the SAME declarative mapping the
+    forward converter emits, inverting each transform: linear → ``.T``;
+    ConcatDense row-splits → concatenate-then-``.T``; direct/stats →
+    identity. Covers the point-only AdaPoinTr tree (the flagship); the
+    img/seg extras (ResNet trunk, MHA fusion) have no inverse yet.
+    """
+
+    def leaf(tree, path):
+        for p in path:
+            tree = tree[p]
+        return np.asarray(tree)
+
+    probe = convert_adapointr({}, config)
+    sd: Dict[str, np.ndarray] = {}
+    for tkey, transform, fpaths in probe["mapping"]:
+        if transform.startswith("split:"):
+            parts = [leaf(params, p) for p in fpaths]
+            sd[tkey] = np.concatenate(parts, axis=0).T.astype(np.float32)
+        elif transform == "linear":
+            w = leaf(params, fpaths)
+            # torch Linear weight (out, in) = kernel.T; 1x1 convs were
+            # flattened to (in, out) on the way in, same inverse
+            sd[tkey] = w.T.astype(np.float32)
+        elif transform == "direct:stats":
+            sd[tkey] = leaf(batch_stats, fpaths).astype(np.float32)
+        else:  # direct
+            sd[tkey] = leaf(params, fpaths).astype(np.float32)
+
+    # reference layers that are 1×1 Conv1d/Conv2d, not Linear: restore the
+    # trailing kernel dims torch expects (validated by strict
+    # load_state_dict into the real reference module in the tests)
+    for tkey in list(sd):
+        if tkey == "base_model.grouper.input_trans.weight" or tkey.startswith(
+            "increase_dim."
+        ) and tkey.endswith(".weight") and sd[tkey].ndim == 2:
+            sd[tkey] = sd[tkey][..., None]  # Conv1d (out, in, 1)
+        elif (
+            tkey.startswith("base_model.grouper.layer")
+            and tkey.endswith(".0.weight")
+        ):
+            sd[tkey] = sd[tkey][..., None, None]  # Conv2d (out, in, 1, 1)
+
+    # reference-only leaves with no flax counterpart: the DEAD encoder norm
+    # (defined but never applied — base_blocks.py:429-431, parity bug #1)
+    # exported as identity, and BN bookkeeping
+    enc_dim = int(config.encoder_config.embed_dim)
+    sd["base_model.encoder.norm.weight"] = np.ones(enc_dim, np.float32)
+    sd["base_model.encoder.norm.bias"] = np.zeros(enc_dim, np.float32)
+    sd["increase_dim.1.num_batches_tracked"] = np.asarray(0, np.int64)
+    return sd
+
+
 def load_torch_state(path: str) -> Dict[str, np.ndarray]:
     """Load a torch checkpoint file into numpy arrays (CPU torch)."""
     import torch
@@ -525,15 +583,49 @@ def main(argv=None):
 
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", required=True)
-    parser.add_argument("--torch_ckpt", required=True)
+    parser.add_argument("--torch_ckpt", help="torch .pth to import")
+    parser.add_argument("--export_ckpt", help="OUR .ckpt to export as torch .pth")
     parser.add_argument("--out", required=True, help="output directory")
     parser.add_argument("--kind", choices=["adapointr", "gdanet"], default="adapointr")
     args = parser.parse_args(argv)
 
-    from ..utils.checkpoint import save_checkpoint
+    from ..utils.checkpoint import load_checkpoint, save_checkpoint
     from ..utils.config import cfg_from_yaml_file
 
     config = cfg_from_yaml_file(args.config)
+    if args.export_ckpt:
+        # reverse direction: flax checkpoint → reference-format torch .pth
+        import torch
+
+        from ..models.build import build_model_spec
+        import jax
+
+        spec = build_model_spec(config.model)
+        key = jax.random.PRNGKey(0)
+        import jax.numpy as jnp
+
+        variables = jax.jit(
+            lambda k: spec.module.init(
+                {"params": k, "noise": k}, jnp.zeros((1, 2048, 3)), train=False
+            )
+        )(key)
+        state = {
+            "params": variables["params"],
+            "batch_stats": variables.get("batch_stats", {}),
+        }
+        exp_dir, prefix = os.path.split(args.export_ckpt)
+        state, _ = load_checkpoint(state, prefix.replace(".ckpt", ""), exp_dir)
+        sd = export_adapointr_torch(state["params"], state["batch_stats"], config.model)
+        os.makedirs(args.out, exist_ok=True)
+        out_path = os.path.join(args.out, "ckpt-exported.pth")
+        torch.save(
+            {"base_model": {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}},
+            out_path,
+        )
+        print(f"wrote {out_path} ({len(sd)} tensors, reference format)")
+        return
+
+    assert args.torch_ckpt, "--torch_ckpt or --export_ckpt required"
     sd = load_torch_state(args.torch_ckpt)
     if args.kind == "gdanet":
         result = convert_gdanet(sd)
