@@ -8,6 +8,8 @@ step time goes — top ops by device time, plus a category rollup
 Usage (real TPU):
     python benchmarks/profile.py [--config cfgs/PCN_models/AdaPoinTr.yaml]
         [--batch 16] [--steps 5] [--top 25]
+    python benchmarks/profile.py --eval --batch 32 --n_out 8192
+        # breakdown of the eval forward at bench.py's headline point
 
 This is how the round-2 perf work was targeted; see benchmarks/RESULTS.md.
 """
@@ -24,7 +26,7 @@ import tempfile
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_steps(config_path, batch, steps, trace_dir):
+def run_steps(config_path, batch, steps, trace_dir, n_out_override=None):
     import jax
     import jax.numpy as jnp
     import optax
@@ -33,6 +35,8 @@ def run_steps(config_path, batch, steps, trace_dir):
     from imgadapointr_tpu.utils.config import cfg_from_yaml_file
 
     cfg = cfg_from_yaml_file(config_path)
+    if n_out_override:
+        cfg.model.num_points = n_out_override
     spec = build_model_spec(cfg.model)
     key = jax.random.PRNGKey(0)
     n_out = int(cfg.model.get("num_points", 16384))
@@ -75,6 +79,43 @@ def run_steps(config_path, batch, steps, trace_dir):
     for _ in range(steps):
         p, o, bs, l = jstep(p, o, bs)
     float(l)
+    jax.profiler.stop_trace()
+
+
+def run_eval_steps(config_path, batch, steps, trace_dir, n_out_override=None):
+    """Forward-only (train=False) steps at the serving/bench point, chained
+    through an on-device accumulator like bench.py's pipelined protocol."""
+    import jax
+    import jax.numpy as jnp
+
+    from imgadapointr_tpu.models.build import build_model_spec
+    from imgadapointr_tpu.utils.config import cfg_from_yaml_file
+
+    cfg = cfg_from_yaml_file(config_path)
+    if n_out_override:
+        cfg.model.num_points = n_out_override
+    spec = build_model_spec(cfg.model)
+    key = jax.random.PRNGKey(0)
+    inputs = [jax.random.normal(key, (batch, 2048, 3), jnp.float32)]
+    if "img" in spec.inputs:
+        inputs.append(jax.random.uniform(key, (batch, 224, 224, 3), jnp.float32))
+    if "cls_vec" in spec.inputs:
+        inputs.append(jnp.zeros((batch, 16), jnp.float32).at[:, 0].set(1.0))
+
+    variables = jax.jit(
+        lambda k: spec.module.init({"params": k, "noise": k}, *inputs, train=False)
+    )(key)
+    # inputs as ARGUMENTS, not closure captures (constant-folding trap,
+    # CLAUDE.md); accumulator chains the steps so the device never idles
+    step = jax.jit(
+        lambda v, s, *xs: s + spec.module.apply(v, *xs, train=False)[1].sum()
+    )
+    acc = step(variables, jnp.float32(0), *inputs)
+    float(acc)  # compile + first run
+    jax.profiler.start_trace(trace_dir)
+    for _ in range(steps):
+        acc = step(variables, acc, *inputs)
+    float(acc)
     jax.profiler.stop_trace()
 
 
@@ -147,10 +188,17 @@ def main():
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--trace_dir", default=None)
+    ap.add_argument("--eval", action="store_true",
+                    help="profile the train=False forward (bench.py point)")
+    ap.add_argument("--n_out", type=int, default=None,
+                    help="override model.num_points (bench point: 8192)")
     args = ap.parse_args()
 
     trace_dir = args.trace_dir or tempfile.mkdtemp(prefix="jaxprof_")
-    run_steps(args.config, args.batch, args.steps, trace_dir)
+    if args.eval:
+        run_eval_steps(args.config, args.batch, args.steps, trace_dir, args.n_out)
+    else:
+        run_steps(args.config, args.batch, args.steps, trace_dir, args.n_out)
     summarize(trace_dir, args.steps, args.top)
 
 

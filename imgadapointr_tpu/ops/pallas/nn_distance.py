@@ -431,8 +431,13 @@ def three_nn_interpolate_pallas(
     Mp = M + pad_m
     pad_c = (-C) % 128
     Cp = C + pad_c
-    # (TS, Mp) distance tile + (TS, Cp) out tile within ~4MB VMEM
-    TS = max(8, min(1024, (4 * 1024 * 1024) // (4 * (Mp + Cp))))
+    # Scoped-VMEM budget per query row: the kernel's live set is several
+    # (TS, Mp) f32 buffers (distance tile, col iota, select/where temps, the
+    # sparse W matrix) plus the (TS, Cp) out tile and (TS, 128)×2 idx/w —
+    # measured ~16.1 KB/row at Mp=640/Cp=256 (TS=1024 overflowed the 16 MB
+    # scoped limit by 488 KB). Budget 12 MB at a conservative 8·Mp+3·Cp
+    # f32/row so every gated shape (M ≤ 4096, C ≤ 1024) fits with slack.
+    TS = max(8, min(512, (12 * 1024 * 1024) // (4 * (8 * Mp + 3 * Cp))))
     TS = (TS // 8) * 8
     pad_s = (-S) % TS
     Sp = S + pad_s

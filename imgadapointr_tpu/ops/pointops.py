@@ -172,15 +172,20 @@ def three_nn_interpolate(
     """
     import os
 
-    # OPT-IN until the TPU speed measurement + convergence gate land
-    # (correctness is pinned by tests/test_pallas_kernels.py and the
-    # benchmarks/kernels.py gate): set IMGADAPOINTR_ENABLE_PALLAS_INTERP=1
+    # Default ON (opt-out: IMGADAPOINTR_DISABLE_PALLAS_INTERP=1). Measured
+    # 4.7 ms vs 10.8 ms XLA chain (2.3×) at the deformable-attention shape
+    # 32×4608×576×192 on v5e; SAFE by the selection-exactness criterion
+    # (benchmarks/RESULTS.md): neighbour indices bit-match the XLA chain
+    # (diff-form distances, first-index ties — idx match 1.0000 at the
+    # benchmarks/kernels.py gate shapes), weights use the identical
+    # 1/(√d+eps) formula, and only the final weighted-sum contraction order
+    # differs (HIGHEST-precision matmul vs gather+einsum, out-rel ≤ 2e-7).
     if (
         jax.default_backend() == "tpu"
         and unknown.shape[1] * known.shape[1] >= 1 << 20
         and known.shape[1] <= 4096
         and feats.shape[-1] <= 1024
-        and os.environ.get("IMGADAPOINTR_ENABLE_PALLAS_INTERP")
+        and not os.environ.get("IMGADAPOINTR_DISABLE_PALLAS_INTERP")
     ):
         return _three_nn_interpolate_fused(unknown, known, feats, eps)
     dist, idx = three_nn(unknown, known)
