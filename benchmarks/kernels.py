@@ -84,6 +84,29 @@ def main():
     print(f"  knn k=8: idx match={km:.4f}")
     ok &= km == 1.0
 
+    # small attn-graph shapes newly covered by the 2^16 gate (round 3):
+    # the flagship decoder/encoder kNNs that previously ran sort-based
+    # top_k. Diff-form (kernel) and matmul-form (XLA) may swap genuine fp32
+    # near-ties, so any index mismatch must recompute (in f64) to the same
+    # distance within an fp32-ulp band — same criterion as bidir-exact.
+    for S, M in [(512, 512), (512, 256), (256, 512)]:
+        xs = jax.random.normal(jax.random.PRNGKey(7), (32, S, 3))
+        ys = jax.random.normal(jax.random.PRNGKey(8), (32, M, 3))
+        _, iks = knn_pallas(8, ys, xs)
+        _, wants = jax.lax.top_k(-pointops.square_distance(xs, ys), 8)
+        kms = float((iks == wants).mean())
+        xn = np.asarray(xs, np.float64)
+        yn = np.asarray(ys, np.float64)
+        gk = np.take_along_axis(yn[:, None], np.asarray(iks)[..., None], 2)
+        gw = np.take_along_axis(yn[:, None], np.asarray(wants)[..., None], 2)
+        d_k = ((xn[:, :, None] - gk) ** 2).sum(-1)
+        d_w = ((xn[:, :, None] - gw) ** 2).sum(-1)
+        tie_gap = float(np.abs(d_k - d_w).max())
+        status = "OK" if (kms > 0.999 and tie_gap < 1e-5) else "FAIL"
+        ok &= kms > 0.999 and tie_gap < 1e-5
+        print(f"  knn k=8 {S}x{M} B32: idx match={kms:.6f} "
+              f"tie-gap={tie_gap:.1e} [{status}]")
+
     print("== fused bidirectional argmin kernel (diff-form, exact selection) ==")
     from imgadapointr_tpu.ops.pallas.nn_distance import nn_argmin_bidir_exact
 
@@ -215,6 +238,9 @@ def main():
     x = jax.random.normal(key, (32, 2048, 3))
     piped("fps 2048->512 B32 (pallas)", jax.jit(lambda x, s: s + jnp.sum(ops.fps(x, 512))), x)
     piped("knn k16 2048 B32 (pallas)", jax.jit(lambda x, s: s + jnp.sum(ops.knn_point(16, x, x)).astype(jnp.float32)), x)
+    xs5 = jax.random.normal(key, (32, 512, 3))
+    piped("knn k8 512x512 B32 (pallas, was sort)", jax.jit(lambda x, s: s + jnp.sum(ops.knn_point(8, x, x)).astype(jnp.float32)), xs5)
+    piped("fps 512->256 B32 (pallas, was while)", jax.jit(lambda x, s: s + jnp.sum(ops.fps(x, 256))), xs5)
     xg = jax.random.normal(key, (64, 16384, 3))
     yg = jax.random.normal(key, (64, 16384, 3))
     piped("chamfer_l1 64x16384^2 fwd (pallas)", jax.jit(lambda a, b, s: s + ops.chamfer_l1(a, b)), xg, yg)

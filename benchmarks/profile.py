@@ -26,7 +26,8 @@ import tempfile
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_steps(config_path, batch, steps, trace_dir, n_out_override=None):
+def run_steps(config_path, batch, steps, trace_dir, n_out_override=None,
+              aug="none"):
     import jax
     import jax.numpy as jnp
     import optax
@@ -59,9 +60,24 @@ def run_steps(config_path, batch, steps, trace_dir, n_out_override=None):
     opt_state = jax.jit(tx.init)(variables["params"])
 
     def step(params, opt_state, bstats):
+        # in-step train augmentation, as the runner jits it (runner.py
+        # _train_step): KITTI-cars finetune applies random_dropping to the
+        # partial; ShapeNet-55 crops the partial out of the gt.
+        step_inputs = list(inputs)
+        if aug == "dropping":
+            from imgadapointr_tpu.ops import random_dropping
+
+            step_inputs[0] = random_dropping(
+                key, batch_arrays["partial"], jnp.int32(0)
+            )
+        elif aug == "crop":
+            from imgadapointr_tpu.ops import train_random_crop
+
+            step_inputs[0] = train_random_crop(key, batch_arrays["gt"], n_out)
+
         def loss_fn(p):
             ret, upd = spec.module.apply(
-                {"params": p, "batch_stats": bstats}, *inputs, train=True,
+                {"params": p, "batch_stats": bstats}, *step_inputs, train=True,
                 rngs={"noise": key, "dropout": key}, mutable=["batch_stats"],
             )
             s, d = spec.loss_fn(ret, batch_arrays["gt"], jnp.asarray(0.0))
@@ -192,13 +208,17 @@ def main():
                     help="profile the train=False forward (bench.py point)")
     ap.add_argument("--n_out", type=int, default=None,
                     help="override model.num_points (bench point: 8192)")
+    ap.add_argument("--aug", default="none", choices=("none", "dropping", "crop"),
+                    help="in-step train augmentation (KITTI finetune: dropping; "
+                         "ShapeNet-55: crop)")
     args = ap.parse_args()
 
     trace_dir = args.trace_dir or tempfile.mkdtemp(prefix="jaxprof_")
     if args.eval:
         run_eval_steps(args.config, args.batch, args.steps, trace_dir, args.n_out)
     else:
-        run_steps(args.config, args.batch, args.steps, trace_dir, args.n_out)
+        run_steps(args.config, args.batch, args.steps, trace_dir, args.n_out,
+                  args.aug)
     summarize(trace_dir, args.steps, args.top)
 
 

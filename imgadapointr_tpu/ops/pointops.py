@@ -87,11 +87,15 @@ def knn_with_distance(
     new_xyz = jax.lax.stop_gradient(new_xyz)
     # Pallas only where it beats XLA AND the Mosaic compile is worth it:
     # each distinct-shape pallas_call costs a separate (slow) remote kernel
-    # compile, so small problems stay on the XLA path.
+    # compile, so small problems stay on the XLA path. Gate ≥ 2^16 pairs
+    # (round 3): the XLA fallback's sort-based top_k costs 1.44 ms per
+    # (32, 512, 512) kNN in the flagship eval trace vs ~0.3 ms for the
+    # peeling kernel; 2^16 also puts the mid-config A/B shapes (256×256)
+    # on the kernel so the convergence gate exercises this dispatch.
     if (
         jax.default_backend() == "tpu"
         and nsample <= 64
-        and xyz.shape[1] * new_xyz.shape[1] >= 1 << 20
+        and xyz.shape[1] * new_xyz.shape[1] >= 1 << 16
         and not os.environ.get("IMGADAPOINTR_DISABLE_PALLAS_KNN")
     ):
         from .pallas.nn_distance import knn_pallas
@@ -251,8 +255,12 @@ def furthest_point_sample(xyz: jax.Array, npoint: int) -> jax.Array:
         (B, npoint) int32 indices.
     """
     xyz = jax.lax.stop_gradient(xyz)  # FPS indices are discrete (pointnet2)
-    # size-gated like knn: small FPS calls compile+run fine on XLA
-    if jax.default_backend() == "tpu" and xyz.shape[1] * npoint >= 1 << 18:
+    # size-gated like knn: small FPS calls compile+run fine on XLA. Gate
+    # ≥ 2^15 (round 3): the grouper's second downsample (512→256) ran the
+    # sequential XLA while-loop at 1.5 ms in the flagship eval trace; the
+    # VMEM-cache kernel does it in ~0.3 ms. 2^15 keeps the mid-config A/B
+    # shapes (256→128) on the kernel so the convergence gate covers it.
+    if jax.default_backend() == "tpu" and xyz.shape[1] * npoint >= 1 << 15:
         from .pallas.fps import furthest_point_sample_pallas
 
         return furthest_point_sample_pallas(xyz, npoint)

@@ -106,10 +106,20 @@ def random_dropping(key: jax.Array, pc: jax.Array, epoch) -> jax.Array:
     e = jnp.asarray(epoch, jnp.int32)
     up_num = jnp.maximum(64, 768 // (e // 50 + 1))
     keep_n = jax.random.randint(key, (), 1, jnp.maximum(up_num, 2))
-    order = furthest_point_sample(pc, N)  # full farthest-first ordering
+    # keep_n < up_num <= 768 always, so only the first min(N, 768) slots of
+    # the farthest-first ordering can survive the mask — FPS that prefix
+    # instead of the full N-iteration ordering (2.7x fewer sequential
+    # argmax steps at the KITTI N=2048).
+    S = min(N, 768)
+    order = furthest_point_sample(pc, S)  # farthest-first prefix
     spread = index_points(pc, order)
-    mask = (jnp.arange(N) < keep_n)[None, :, None]
-    return spread * mask.astype(pc.dtype)
+    mask = (jnp.arange(S) < keep_n)[None, :, None]
+    spread = spread * mask.astype(pc.dtype)
+    if S < N:
+        spread = jnp.concatenate(
+            [spread, jnp.zeros((B, N - S, 3), pc.dtype)], axis=1
+        )
+    return spread
 
 
 def train_random_crop(
