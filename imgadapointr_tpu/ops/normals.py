@@ -75,6 +75,13 @@ def estimate_pointcloud_normals(points: jax.Array, k: int = 30) -> jax.Array:
     idx = knn_point(k, points, points)  # (B, N, k), self included
     nbr = index_points(points, idx)  # (B, N, k, 3)
     mean = jnp.mean(nbr, axis=2, keepdims=True)
-    d = (nbr - mean).astype(jnp.float32)
-    cov = jnp.einsum("bnki,bnkj->bnij", d, d) / k  # (B, N, 3, 3)
+    # f32 floor for low-precision inputs, but KEEP f64 under x64 — the fp64
+    # gradient-parity harness differentiates through this op live
+    d = (nbr - mean).astype(jnp.promote_types(points.dtype, jnp.float32))
+    # covariance entries are O(r²) differences of near-equal products — a
+    # bf16 MXU contraction here visibly tilts the normals; k=30 on 3-wide
+    # vectors is VPU-trivial at full precision
+    cov = jnp.einsum(
+        "bnki,bnkj->bnij", d, d, precision=jax.lax.Precision.HIGHEST
+    ) / k  # (B, N, 3, 3)
     return _smallest_eigvec_sym3x3(cov)

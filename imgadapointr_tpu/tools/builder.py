@@ -124,17 +124,23 @@ def build_opt_sched(config, steps_per_epoch: int, params, frozen_paths=()):
 
     grad_clip = float(config.get("grad_norm_clip", 10.0))  # runner.py:207-212
     tx = optax.chain(_clip_by_global_norm_torch(grad_clip), tx)
+    if frozen_paths:
+        # Zero frozen-subtree grads BEFORE the clip: the reference freezes
+        # via requires_grad=False (runner.py:55-66), so those grads are None
+        # and torch's clip_grad_norm_ never sees them — our jax.grad DOES
+        # compute them (gradient flows through the frozen net), and leaving
+        # them in would inflate the global norm and rescale every clipped
+        # update. Zeroed grads give a zero Adam term and decay is already
+        # masked off frozen paths, so the final update is exactly zero —
+        # the jax analog of requires_grad=False.
+        frozen_mask = jax.tree_util.tree_map_with_path(
+            lambda path, _: _frozen(path), params
+        )
+        tx = optax.chain(optax.masked(optax.set_to_zero(), frozen_mask), tx)
     # gradient accumulation (reference step_per_update, runner.py:207-215)
     k = int(config.get("step_per_update", 1))
     if k > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=k)
-    if frozen_paths:
-        # zero the final updates on frozen subtrees (grads AND decoupled
-        # decay) — the jax analog of requires_grad=False
-        frozen_mask = jax.tree_util.tree_map_with_path(
-            lambda path, _: _frozen(path), params
-        )
-        tx = optax.chain(tx, optax.masked(optax.set_to_zero(), frozen_mask))
 
     bnm_epoch = build_bnm_schedule(config.get("bnmscheduler", None))
     return tx, lr_step, bnm_epoch

@@ -76,6 +76,10 @@ def build_reference_model(model_cfg, double, kind="adapointr"):
         )
     elif kind == "seg":
         from models.internal.SegEncAdaPoinTr import SegEncAdaPoinTr as RefModel
+    elif kind == "imgsegdec":
+        from models.internal.ImgEncSegDecAdaPoinTrVariableLoss import (
+            ImgEncSegDecAdaPoinTrVariableLoss as RefModel,
+        )
     else:
         from models.external.AdaPoinTr import AdaPoinTr as RefModel
 
@@ -118,11 +122,14 @@ def convert_and_merge(sd, model_cfg, examples, double, kind="adapointr"):
         convert_img_adapointr,
     )
 
+    import functools
+
     from imgadapointr_tpu.tools.convert_torch import convert_seg_adapointr
 
     convert = {
         "img": convert_img_adapointr,
         "seg": convert_seg_adapointr,
+        "imgsegdec": functools.partial(convert_seg_adapointr, with_img=True),
     }.get(kind, convert_adapointr)
     res = convert(sd, model_cfg)
     assert not res["missing"], f"torch keys not found: {res['missing'][:10]}"
@@ -156,8 +163,13 @@ def convert_and_merge(sd, model_cfg, examples, double, kind="adapointr"):
     return spec, {"params": unflatten(merged), "batch_stats": unflatten(merged_bs)}
 
 
-def run_reference(ref, inputs_t, train=False):
-    """Forward the torch model, capturing per-stage activations via hooks."""
+def run_reference(ref, inputs_t, train=False, keep_eval=()):
+    """Forward the torch model, capturing per-stage activations via hooks.
+
+    ``keep_eval``: submodules forced back to eval mode after ``ref.train()``
+    — used for the frozen GDANet, whose train-mode BN/dropout the rebuild
+    deliberately does not replicate (documented in models/gdanet.py).
+    """
     import torch
 
     acts = {}
@@ -192,6 +204,8 @@ def run_reference(ref, inputs_t, train=False):
             ref.base_model.layer_norm_seg5.register_forward_hook(hook("seg_fusion"))
         )
     ref.train(train)
+    for m in keep_eval:
+        m.eval()
     with torch.no_grad():
         ret = ref(*inputs_t)
     for h in handles:
@@ -240,7 +254,11 @@ def compare(name, a, b, tol, report):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="cfgs/PCN_models/AdaPoinTr-tiny.yaml")
-    ap.add_argument("--model", choices=["adapointr", "img", "seg"], default="adapointr")
+    ap.add_argument(
+        "--model",
+        choices=["adapointr", "img", "seg", "imgsegdec"],
+        default="adapointr",
+    )
     ap.add_argument("--double", action="store_true", help="fp64 on both sides")
     ap.add_argument("--train", action="store_true", help="also check train mode")
     ap.add_argument("--golden", default=None, help="write golden npz here")
@@ -278,16 +296,18 @@ def main():
     x_t = torch.randn(args.batch, args.n_points, 3, generator=g, dtype=dtype)
     inputs_t = [x_t]
     inputs_np = [x_t.numpy()]
-    if args.model == "img":
+    if args.model in ("img", "imgsegdec"):
         img_t = torch.randn(args.batch, 3, 224, 224, generator=g, dtype=dtype)
         inputs_t.append(img_t)
         # ours is channels-last
         inputs_np.append(img_t.numpy().transpose(0, 2, 3, 1))
-    if args.model == "seg":
-        # torch signature is (xyz, img, cls_vec) — img is ignored
+    if args.model in ("seg", "imgsegdec"):
+        # torch signature is (xyz, img, cls_vec) — img is ignored by SegEnc
         cls_t = torch.zeros(args.batch, 16, dtype=dtype)
         cls_t[:, 3] = 1.0
-        inputs_t.extend([torch.zeros(args.batch, 1, dtype=dtype), cls_t])
+        if args.model == "seg":
+            inputs_t.append(torch.zeros(args.batch, 1, dtype=dtype))
+        inputs_t.append(cls_t)
         inputs_np.append(cls_t.numpy())
         # the torch GDANet defaults to device='cuda' for its arange/eye calls
         ref.base_model.segmentator.device = "cpu"
@@ -295,6 +315,8 @@ def main():
         # disambiguate_directions=False); inject the reference's normals into
         # our seg path so the comparison isolates real semantic drift. The
         # scrambled-view quirk itself is replicated in models/seg_adapointr.
+        # ``captured`` is refreshed per reference forward (eval vs train
+        # compute normals on different clouds).
         captured = {}
 
         def grab_norm(mod, inp):
@@ -311,15 +333,17 @@ def main():
 
     print(f"== eval-mode parity ({'fp64' if args.double else 'fp32'}, tol {tol:g}) ==")
     ret_t, acts_t = run_reference(ref, inputs_t, train=False)
-    if args.model == "seg":
+    if args.model in ("seg", "imgsegdec"):
         # replace our normal estimation with the reference's captured normals
+        # (a holder, so the --train block can refresh it after the reference
+        # train forward recomputes normals on its own coarse cloud)
         import imgadapointr_tpu.models.seg_adapointr as seg_mod
 
-        norm_const = jnp.asarray(captured["norm"])
-        seg_mod.estimate_pointcloud_normals = lambda coor, k: norm_const
+        norm_holder = {"norm": jnp.asarray(captured["norm"])}
+        seg_mod.estimate_pointcloud_normals = lambda coor, k: norm_holder["norm"]
     ret_j, inter = run_ours(spec, variables, inputs_j, train=False)
 
-    wrapper = inter["core"] if args.model in ("img", "seg") else inter
+    wrapper = inter["core"] if args.model in ("img", "seg", "imgsegdec") else inter
     bm = wrapper["base_model"]
     report = []
     ok = True
@@ -328,7 +352,7 @@ def main():
     ok &= compare("grouper.coor", coor_t, coor_j, tol, report)
     ok &= compare("grouper.f", f_t, f_j, tol, report)
     ok &= compare("encoder.out", acts_t["encoder"], bm["encoder"]["__call__"][0], tol, report)
-    if args.model == "img":
+    if args.model in ("img", "imgsegdec"):
         ok &= compare(
             "im_encoder", acts_t["im_encoder"],
             inter["im_encoder"]["__call__"][0], tol, report,
@@ -338,7 +362,7 @@ def main():
             "img_fusion", acts_t["img_fusion"].transpose(0, 1),
             bm["img_fusion"]["__call__"][0], tol, report,
         )
-    if args.model == "seg":
+    if args.model in ("seg", "imgsegdec"):
         # torch tap is (B, 128, N); ours (B, N, 128)
         ok &= compare(
             "gdanet.tap", acts_t["segmentator"][0].transpose(1, 2),
@@ -385,7 +409,16 @@ def main():
         try:
             import jax
 
-            ret_t_tr, _ = run_reference(ref, inputs_t, train=True)
+            keep_eval = (
+                (ref.base_model.segmentator,)
+                if args.model in ("seg", "imgsegdec")
+                else ()
+            )
+            ret_t_tr, _ = run_reference(ref, inputs_t, train=True, keep_eval=keep_eval)
+            if args.model in ("seg", "imgsegdec"):
+                # train-mode normals are computed on the (different) train
+                # coarse cloud — refresh the injected constant
+                norm_holder["norm"] = jnp.asarray(captured["norm"])
             ret_j_tr, _ = run_ours(
                 spec, variables, inputs_j, train=True, noise_key=jax.random.PRNGKey(7)
             )

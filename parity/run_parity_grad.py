@@ -149,7 +149,11 @@ def compare_tree(name, tree_t, tree_j, tol, report, zero_markers=(), floor_frac=
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="cfgs/PCN_models/AdaPoinTr-tiny.yaml")
-    ap.add_argument("--model", choices=["adapointr", "img"], default="adapointr")
+    ap.add_argument(
+        "--model",
+        choices=["adapointr", "img", "seg", "imgsegdec"],
+        default="adapointr",
+    )
     ap.add_argument("--double", action="store_true")
     ap.add_argument("--epoch", type=int, default=0,
                     help="training epoch (exercises the variable-loss alpha "
@@ -188,10 +192,25 @@ def main():
     gt_t = torch.randn(args.batch, n_gt, 3, generator=g, dtype=dtype) * 0.5
     inputs_t = [x_t]
     inputs_np = [x_t.numpy()]
-    if args.model == "img":
+    if args.model in ("img", "imgsegdec"):
         img_t = torch.randn(args.batch, 3, 224, 224, generator=g, dtype=dtype)
         inputs_t.append(img_t)
         inputs_np.append(img_t.numpy().transpose(0, 2, 3, 1))
+    captured_norm = {}
+    if args.model in ("seg", "imgsegdec"):
+        # torch signature is (xyz, img, cls_vec) — img is ignored by SegEnc
+        cls_t = torch.zeros(args.batch, 16, dtype=dtype)
+        cls_t[:, 3] = 1.0
+        if args.model == "seg":
+            inputs_t.append(torch.zeros(args.batch, 1, dtype=dtype))
+        inputs_t.append(cls_t)
+        inputs_np.append(cls_t.numpy())
+        ref.base_model.segmentator.device = "cpu"
+
+        def grab_norm(mod, inp):
+            captured_norm["norm"] = inp[1].detach().numpy()
+
+        ref.base_model.segmentator.register_forward_pre_hook(grab_norm)
 
     import jax.numpy as jnp
 
@@ -229,6 +248,15 @@ def main():
 
     # ---------------------------------------------------------- torch side
     ref.train()
+    if args.model in ("seg", "imgsegdec"):
+        # The reference leaves the frozen GDANet in train mode (batch-stat BN
+        # + live dropout on a net that never updates) — a quirk this rebuild
+        # deliberately does not replicate (models/gdanet.py). Pin it to eval
+        # so the comparison isolates the semantics we DO claim. Its params
+        # keep requires_grad=True through the backward: gradient STILL flows
+        # through a frozen module in the reference, and comparing the
+        # (never-applied) GDANet param grads validates our GDANet backward.
+        ref.base_model.segmentator.eval()
     ret_t = ref(*inputs_t)
     sparse_t, dense_t = ref.get_loss(ret_t, gt_t, args.epoch)
     total_t = sparse_t + dense_t
@@ -240,6 +268,29 @@ def main():
     }
 
     # ------------------------------------------------------------ jax side
+    if args.model in ("seg", "imgsegdec"):
+        # Live normals on our side, SIGN-ALIGNED to the torch normals just
+        # captured: the eigenvector sign is solver-convention-dependent, but
+        # locally (fixed sign) the normal is a smooth unique function of the
+        # points, so after alignment both values AND gradients must agree —
+        # this keeps the d(loss)/d(coarse) path THROUGH the normals live on
+        # both sides (the reference does not detach it).
+        import imgadapointr_tpu.models.seg_adapointr as seg_mod
+        from imgadapointr_tpu.ops.normals import (
+            estimate_pointcloud_normals as live_normals,
+        )
+
+        norm_ref = jnp.asarray(captured_norm["norm"])
+
+        def aligned_normals(coor, k):
+            n = live_normals(coor, k)
+            s = jnp.where(
+                jnp.sum(n * norm_ref, -1, keepdims=True) >= 0, 1.0, -1.0
+            )
+            return n * s
+
+        seg_mod.estimate_pointcloud_normals = aligned_normals
+
     key = jax.random.PRNGKey(7)
 
     def loss_fn(params):
@@ -273,6 +324,13 @@ def main():
     ok &= compare_tree("batch_stats", stats_after_t, new_bs_j, tol, report)
 
     print("== one AdamW step (reference add_weight_decay masking + clip 10) ==")
+    if args.model in ("seg", "imgsegdec"):
+        # reference freezing (runner.py:55-66): requires_grad=False BEFORE the
+        # optimizer is built (add_weight_decay skips frozen params entirely)
+        # and grad=None so clip_grad_norm_ excludes them from the global norm
+        for p in ref.base_model.segmentator.parameters():
+            p.grad = None
+            p.requires_grad_(False)
     opt = build_reference_optimizer(ref, config)
     torch.nn.utils.clip_grad_norm_(ref.parameters(), 10.0)
     opt.step()
@@ -281,7 +339,9 @@ def main():
 
     from imgadapointr_tpu.tools.builder import build_opt_sched
 
-    tx, _, _ = build_opt_sched(config, 1, variables["params"])
+    tx, _, _ = build_opt_sched(
+        config, 1, variables["params"], frozen_paths=tuple(spec.frozen_paths)
+    )
     opt_state = tx.init(variables["params"])
     import optax
 
@@ -319,15 +379,25 @@ def main():
     u_global = max(float(np.abs(np.asarray(v)).max()) for v in flat_ut.values())
     for k in list(flat_ut):
         if "/".join(k) in analytic_zero:
-            a = float(np.abs(np.asarray(flat_ut.pop(k))).max())
-            b = float(np.abs(np.asarray(flat_uj.pop(k))).max())
-            if a > 1e-3 * u_global or b > 1e-3 * u_global:
-                print(f"  [FAIL] adamw.update/{'/'.join(k)}: noise-grad "
-                      f"update not immaterial (torch {a:.2e} jax {b:.2e})")
+            ut = np.asarray(flat_ut.pop(k))
+            uj = np.asarray(flat_uj.pop(k))
+            a, b = float(np.abs(ut).max()), float(np.abs(uj).max())
+            if a <= 1e-3 * u_global and b <= 1e-3 * u_global:
+                continue  # noise-floor update on both sides (undecayed bias)
+            # a DECAYED kernel with analytic-zero grad: the update is pure
+            # decoupled weight decay −lr·wd·w plus a ~g/ε Adam residue —
+            # deterministic, so it must match directly across frameworks
+            if float(np.abs(ut - uj).max()) > 1e-3 * max(a, b):
+                print(f"  [FAIL] adamw.update/{'/'.join(k)}: zero-grad decay "
+                      f"update differs (torch {a:.2e} jax {b:.2e}, "
+                      f"delta {float(np.abs(ut - uj).max()):.2e})")
                 ok = False
+    # frozen subtrees must see EXACTLY zero update on both sides (reference:
+    # excluded from the optimizer; ours: optax frozen mask)
+    update_zero_markers = ZERO_GRAD_MARKERS + tuple(spec.frozen_paths)
     ok &= compare_tree(
         "adamw.update", unflatten(flat_ut), unflatten(flat_uj), tol, report,
-        zero_markers=ZERO_GRAD_MARKERS, floor_frac=1e-4,
+        zero_markers=update_zero_markers, floor_frac=1e-4,
     )
 
     if args.golden and ok:
@@ -339,6 +409,13 @@ def main():
             "loss_dense": np.asarray(float(dense_t)),
             "bn_momentum": np.asarray(bnm_torch),
         }
+        if args.model in ("img", "imgsegdec"):
+            golden["input_img"] = inputs_np[1].astype(np.float32)
+        if args.model in ("seg", "imgsegdec"):
+            golden["input_cls"] = inputs_np[-1].astype(np.float32)
+            # reference normals: CI re-derives with live normals sign-aligned
+            # to these (exactly as the jax side of this harness did)
+            golden["norm_ref"] = captured_norm["norm"].astype(np.float32)
         for k, v in flatten(to_plain(variables["params"])).items():
             golden["param//" + "/".join(k)] = np.asarray(v, np.float32)
         for k, v in flatten(to_plain(variables["batch_stats"])).items():
@@ -363,12 +440,19 @@ def main():
 def _convert_tree(sd_like, model_cfg, kind):
     """Run a state_dict-shaped mapping through the weight converter,
     returning (params tree, batch_stats tree) in flax layout."""
+    import functools
+
     from imgadapointr_tpu.tools.convert_torch import (
         convert_adapointr,
         convert_img_adapointr,
+        convert_seg_adapointr,
     )
 
-    convert = convert_img_adapointr if kind == "img" else convert_adapointr
+    convert = {
+        "img": convert_img_adapointr,
+        "seg": convert_seg_adapointr,
+        "imgsegdec": functools.partial(convert_seg_adapointr, with_img=True),
+    }.get(kind, convert_adapointr)
     res = convert(sd_like, model_cfg)
     return res["params"], res["batch_stats"]
 

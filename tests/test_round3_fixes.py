@@ -217,3 +217,56 @@ def test_gridding_loss_span_invariance():
     big = float(gridding_loss(pred2, gt2, [16], [1.0], span=8.0))
     bigger = float(gridding_loss(pred2, gt2, [16], [1.0], span=12.0))
     np.testing.assert_allclose(big, bigger, rtol=1e-6)
+
+
+def test_frozen_grads_excluded_from_clip_norm():
+    """Frozen-subtree grads must be zeroed BEFORE the global-norm clip: the
+    reference freezes via requires_grad=False (runner.py:55-66), so torch's
+    clip_grad_norm_ never sees those grads — leaving our (computed-then-
+    masked) frozen grads inside the norm would rescale every clipped update
+    (tools/builder.py)."""
+    from imgadapointr_tpu.tools.builder import build_opt_sched
+
+    cfg = AttrDict(
+        {
+            # SGD: the update is PROPORTIONAL to the clipped grads (first-step
+            # Adam normalizes to ±lr and would hide the clip coefficient)
+            "optimizer": {"type": "SGD", "kwargs": {"lr": 1e-2, "weight_decay": 0.0,
+                                                    "momentum": 0.0}},
+            "scheduler": {"type": "StepLR", "kwargs": {"decay_step": 10, "gamma": 1.0}},
+            "max_epoch": 10,
+            "grad_norm_clip": 10.0,
+        }
+    )
+    params = {
+        "net": {"w": jnp.zeros((4, 4))},
+        "segmentator": {"w": jnp.zeros((4, 4))},
+    }
+    grads = {
+        "net": {"w": jnp.full((4, 4), 10.0)},  # norm 40 → clip engages
+        "segmentator": {"w": jnp.full((4, 4), 1000.0)},  # must NOT inflate it
+    }
+
+    def one_update(frozen):
+        tx, _, _ = build_opt_sched(cfg, 1, params, frozen_paths=frozen)
+        upd, _ = tx.update(grads, tx.init(params), params)
+        return upd
+
+    upd_frozen = one_update(("segmentator",))
+    # frozen subtree: exactly zero update
+    assert float(jnp.abs(upd_frozen["segmentator"]["w"]).max()) == 0.0
+    # live subtree: clip coefficient computed WITHOUT the frozen grads —
+    # identical to a model where the frozen grads are zero to begin with
+    grads_ref = {"net": grads["net"], "segmentator": {"w": jnp.zeros((4, 4))}}
+    tx, _, _ = build_opt_sched(cfg, 1, params, frozen_paths=())
+    upd_ref, _ = tx.update(grads_ref, tx.init(params), params)
+    np.testing.assert_allclose(
+        np.asarray(upd_frozen["net"]["w"]), np.asarray(upd_ref["net"]["w"]),
+        rtol=1e-6,
+    )
+    # and demonstrably different from clipping WITH the frozen grads in the
+    # norm (guards against regressing the mask back behind the clip)
+    upd_naive, _ = tx.update(grads, tx.init(params), params)
+    assert not np.allclose(
+        np.asarray(upd_frozen["net"]["w"]), np.asarray(upd_naive["net"]["w"])
+    )
