@@ -23,17 +23,18 @@ from ..nn.layers import BatchNorm, dense
 
 
 def _knn_desc(x: jax.Array, k: int):
-    """kNN over feature space; returns (idx, p) with p = -sqdist
-    (reference GDANet_util.py:5-11)."""
+    """kNN over feature space; returns (idx, p, vals) with p = -sqdist and
+    vals = p at the k neighbours, nearest first (reference GDANet_util.py:5-11
+    discards the top-k values; gdm() reads them to avoid re-gathering p)."""
     p = -square_distance(x, x)
-    _, idx = jax.lax.top_k(p, k)
-    return idx.astype(jnp.int32), p
+    vals, idx = jax.lax.top_k(p, k)
+    return idx.astype(jnp.int32), p, vals
 
 
 def local_operator(x: jax.Array, k: int) -> jax.Array:
     """Edge features cat(neighbor − x, neighbor): (B, N, C) → (B, N, k, 2C)
     (reference GDANet_util.py:14-38)."""
-    idx, _ = _knn_desc(x, k)
+    idx, _, _ = _knn_desc(x, k)
     nbr = index_points(x, idx)
     xc = jnp.broadcast_to(x[:, :, None], nbr.shape)
     return jnp.concatenate([nbr - xc, nbr], axis=-1)
@@ -42,7 +43,7 @@ def local_operator(x: jax.Array, k: int) -> jax.Array:
 def local_operator_withnorm(x: jax.Array, norm: jax.Array, k: int) -> jax.Array:
     """cat(neighbor − x, neighbor, neighbor_normal): → (B, N, k, 3C)
     (reference GDANet_util.py:41-73)."""
-    idx, _ = _knn_desc(x, k)
+    idx, _, _ = _knn_desc(x, k)
     nbr = index_points(x, idx)
     nbr_norm = index_points(norm, idx)
     xc = jnp.broadcast_to(x[:, :, None], nbr.shape)
@@ -59,20 +60,57 @@ def gdm(x: jax.Array, M: int, k: int = 64, tau: float = 0.2, sigma: float = 2.0)
     B, N, C = x.shape
     M = min(M, N)
     k = min(k, N)
-    idx, p = _knn_desc(x, k)  # p = -sqdist
+    idx, p, vals = _knn_desc(x, k)  # p = -sqdist; vals = p at neighbours
     mask = jnp.sqrt(jnp.abs(p)) < tau
     w = jnp.exp(p / (sigma * sigma)) * mask.astype(x.dtype)
     colsum = jnp.sum(w, axis=1)  # Σ_r w[r, i] (torch dim=1)
-    A = w / jnp.maximum(colsum, 1e-12)[:, :, None]
-    # local Â_ij at the k−1 non-self neighbours
+    # Local Â at the k−1 non-self neighbours, WITHOUT materialising the
+    # dense A = w/colsum (B, N, N) and gathering from it (the reference's
+    # form — 13 ms of HBM-bound gathers per superset train step at N=512,
+    # benchmarks/RESULTS.md round 3): top_k already returned p at exactly
+    # those positions, so recomputing exp·mask on vals and dividing by the
+    # same row colsum is BIT-IDENTICAL to gathering A (same f32 arithmetic
+    # on the same values; tested in tests/test_round3_fixes.py).
     nbr_idx = idx[:, :, 1:]
-    A_local = jnp.take_along_axis(A, nbr_idx, axis=2)  # (B, N, k-1)
-    nbr = index_points(x, nbr_idx)  # (B, N, k-1, C)
-    n = jnp.sum(A_local[..., None] * nbr, axis=2)  # (B, N, C)
+    p_nbr = vals[:, :, 1:]
+    mask_nbr = jnp.sqrt(jnp.abs(p_nbr)) < tau
+    w_nbr = jnp.exp(p_nbr / (sigma * sigma)) * mask_nbr.astype(x.dtype)
+    A_local = w_nbr / jnp.maximum(colsum, 1e-12)[:, :, None]  # (B, N, k-1)
+    n = _aggregate_neighbours(A_local, nbr_idx, x)  # (B, N, C)
     pai = jnp.sum((x - n) ** 2, axis=-1)  # (B, N)
     _, sharp_idx = jax.lax.top_k(pai, M)
     _, gentle_idx = jax.lax.top_k(-pai, M)
     return index_points(x, sharp_idx), index_points(x, gentle_idx)
+
+
+def _aggregate_neighbours(A_local, nbr_idx, x):
+    """n[b,i] = Σ_m A_local[b,i,m] · x[b, nbr_idx[b,i,m]].
+
+    On TPU at production shapes, dispatches to the weighted-gather-sum
+    Pallas kernel (ops/pallas/gather_sum.py): the sparse weight-row matrix
+    is built in VMEM and the aggregation + both backward passes are
+    HIGHEST-precision MXU matmuls — no (B, N, k, C) HBM materialisation and
+    no backward scatter (~10.8 ms forward + comparable backward per superset
+    train step for the XLA chain below, round-3 trace). Weighted sums, not
+    selections: reassociation-level numerics (tested in interpret mode).
+    Opt-out: IMGADAPOINTR_DISABLE_PALLAS_GDM=1.
+    """
+    import os
+
+    B, N, C = x.shape
+    K = A_local.shape[-1]
+    if (
+        jax.default_backend() == "tpu"
+        and N * K >= 1 << 14
+        and N <= 2048
+        and C <= 256
+        and not os.environ.get("IMGADAPOINTR_DISABLE_PALLAS_GDM")
+    ):
+        from ..ops.pallas.gather_sum import weighted_gather_sum_pallas
+
+        return weighted_gather_sum_pallas(A_local, nbr_idx, x)
+    nbr = index_points(x, nbr_idx)  # (B, N, K, C)
+    return jnp.sum(A_local[..., None] * nbr, axis=2)
 
 
 class SGCAM(nn.Module):
@@ -114,6 +152,30 @@ class GDANet(nn.Module):
         x = dense(ch, name=f"{name}_conv")(x)
         return BatchNorm(ch, name=f"{name}_bn")(x, ura)
 
+    def _edge_conv_commuted(self, x, k, ch, name):
+        """local_operator + first conv, with the pointwise dense COMMUTED
+        past the neighbour gather:
+
+            cat(nbr − x, nbr) @ [W1; W2] + b
+              == gather(x @ (W1+W2) + b) − (x @ W1 + b) + b
+
+        Same single (2C, ch) kernel/bias as the reference layout (checkpoint
+        compatible; W1/W2 are virtual row halves selected by zero-padding
+        the input), but the gather moves ch channels instead of 2C
+        (64 vs 134 / 128 vs 262 at the superset recipe) and W contracts over
+        N points instead of N·k — the reference multiplies W on the
+        k-expanded tensor (GDANet_util.py:14-38 feeding GDANet_ptseg
+        conv2/conv3). Backward's scatter shrinks identically. Reassociation
+        only — equivalent to the cat form at f32 rounding (tested).
+        """
+        d = dense(ch, name=f"{name}_conv")
+        u = d(jnp.concatenate([x, x], axis=-1))  # x·(W1+W2) + b
+        v = d(jnp.concatenate([x, jnp.zeros_like(x)], axis=-1))  # x·W1 + b
+        b = d(jnp.zeros((1, 1, 2 * x.shape[-1]), x.dtype))  # bias
+        idx, _, _ = _knn_desc(x, min(k, x.shape[1]))
+        feat = index_points(u, idx) - v[:, :, None, :] + b[:, None]
+        return BatchNorm(ch, name=f"{name}_bn")(feat, True)
+
     @nn.compact
     def __call__(self, coor, normals, cls_vec, deterministic: bool = True):
         B, N, _ = coor.shape
@@ -131,8 +193,7 @@ class GDANet(nn.Module):
 
         # block 2
         x1t = jnp.concatenate([coor, x1], axis=-1)  # (B, N, 67)
-        x2 = local_operator(x1t, k=min(30, N))  # (B,N,k,134)
-        x2 = relu(self._conv_bn(x2, 64, "conv2"))
+        x2 = relu(self._edge_conv_commuted(x1t, 30, 64, "conv2"))
         x2 = relu(self._conv_bn(x2, 64, "conv21"))
         x2 = jnp.max(x2, axis=2)
         x2h, x2l = gdm(x2, M=512)
@@ -142,8 +203,7 @@ class GDANet(nn.Module):
 
         # block 3
         x2t = jnp.concatenate([x1t, x2], axis=-1)  # (B, N, 131)
-        x3 = local_operator(x2t, k=min(30, N))  # (B,N,k,262)
-        x3 = relu(self._conv_bn(x3, 128, "conv3"))
+        x3 = relu(self._edge_conv_commuted(x2t, 30, 128, "conv3"))
         x3 = relu(self._conv_bn(x3, 128, "conv31"))
         x3 = jnp.max(x3, axis=2)
         x3 = relu(self._conv_bn(x3, 128, "conv32"))

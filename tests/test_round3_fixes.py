@@ -270,3 +270,104 @@ def test_frozen_grads_excluded_from_clip_norm():
     assert not np.allclose(
         np.asarray(upd_frozen["net"]["w"]), np.asarray(upd_naive["net"]["w"])
     )
+
+
+def test_gdm_local_adjacency_bit_exact():
+    """gdm()'s gather-free local adjacency (top-k values + row colsum) must be
+    BIT-identical to the reference's dense form A = w/colsum followed by
+    take_along_axis at the neighbour columns (models/gdanet.py; the dense
+    form costs 13 ms of HBM gathers per superset train step)."""
+    from imgadapointr_tpu.models.gdanet import _knn_desc, gdm
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 96, 64)).astype(np.float32))
+    k, tau, sigma = 64, 0.2, 2.0
+
+    def gdm_dense(x, M, k, tau, sigma):
+        k = min(k, x.shape[1])
+        idx, p, _ = _knn_desc(x, k)
+        mask = jnp.sqrt(jnp.abs(p)) < tau
+        w = jnp.exp(p / (sigma * sigma)) * mask.astype(x.dtype)
+        colsum = jnp.sum(w, axis=1)
+        A = w / jnp.maximum(colsum, 1e-12)[:, :, None]
+        nbr_idx = idx[:, :, 1:]
+        A_local = jnp.take_along_axis(A, nbr_idx, axis=2)
+        from imgadapointr_tpu.ops import index_points
+
+        nbr = index_points(x, nbr_idx)
+        n = jnp.sum(A_local[..., None] * nbr, axis=2)
+        pai = jnp.sum((x - n) ** 2, axis=-1)
+        _, sharp = jax.lax.top_k(pai, M)
+        _, gentle = jax.lax.top_k(-pai, M)
+        return index_points(x, sharp), index_points(x, gentle)
+
+    # tau small → most pairs masked; also probe a tau where the mask is live
+    for tau_probe in (0.2, 5.0):
+        got = jax.jit(lambda x: gdm(x, M=48, k=k, tau=tau_probe, sigma=sigma))(x)
+        want = jax.jit(
+            lambda x: gdm_dense(x, 48, k, tau_probe, sigma)
+        )(x)
+        for g, w_ in zip(got, want):
+            assert np.array_equal(np.asarray(g), np.asarray(w_)), tau_probe
+
+
+def test_gdanet_edge_conv_commuted_equivalence():
+    """The commuted edge conv (gather AFTER the dense, models/gdanet.py
+    _edge_conv_commuted) must equal the reference cat-form
+    dense(local_operator(x)) up to f32 reassociation."""
+    from flax import linen as nn
+
+    from imgadapointr_tpu.models import gdanet as gmod
+
+    class Probe(nn.Module):
+        ch: int = 64
+
+        @nn.compact
+        def __call__(self, x, commuted: bool):
+            if commuted:
+                return gmod.GDANet._edge_conv_commuted(self, x, 30, self.ch, "conv2")
+            feat = gmod.local_operator(x, min(30, x.shape[1]))
+            return gmod.GDANet._conv_bn(self, feat, self.ch, "conv2")
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 64, 67)).astype(np.float32))
+    probe = Probe()
+    variables = probe.init(jax.random.PRNGKey(0), x, False)
+    # give BN non-trivial stats and the kernel non-default values
+    variables = jax.tree.map(
+        lambda a: a + 0.05 * jnp.arange(a.size, dtype=a.dtype).reshape(a.shape) / a.size,
+        variables,
+    )
+    ref = probe.apply(variables, x, False)
+    got = probe.apply(variables, x, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-6)
+
+
+def test_weighted_gather_sum_pallas_interpret():
+    """Pallas weighted-gather-sum (ops/pallas/gather_sum.py): forward AND
+    both gradients must match the XLA gather+reduce chain (interpret mode —
+    the TPU dispatch in models/gdanet._aggregate_neighbours is size-gated)."""
+    from imgadapointr_tpu.ops import index_points
+    from imgadapointr_tpu.ops.pallas.gather_sum import weighted_gather_sum_pallas
+
+    rng = np.random.default_rng(3)
+    B, S, K, M, C = 2, 40, 7, 50, 12
+    w = jnp.asarray(rng.normal(size=(B, S, K)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, M, (B, S, K)).astype(np.int32))
+    f = jnp.asarray(rng.normal(size=(B, M, C)).astype(np.float32))
+
+    def ref(w, f):
+        return jnp.sum(w[..., None] * index_points(f, idx), axis=2)
+
+    def ker(w, f):
+        return weighted_gather_sum_pallas(w, idx, f, True)
+
+    out_r = ref(w, f)
+    out_k = ker(w, f)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r), rtol=2e-5, atol=1e-6)
+
+    g = jnp.asarray(rng.normal(size=out_r.shape).astype(np.float32))
+    dwr, dfr = jax.grad(lambda w, f: jnp.sum(ref(w, f) * g), argnums=(0, 1))(w, f)
+    dwk, dfk = jax.grad(lambda w, f: jnp.sum(ker(w, f) * g), argnums=(0, 1))(w, f)
+    np.testing.assert_allclose(np.asarray(dwk), np.asarray(dwr), rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dfk), np.asarray(dfr), rtol=2e-5, atol=1e-6)
