@@ -333,6 +333,17 @@ class DynamicGraphAttention(nn.Module):
         deterministic: bool = True,
     ):
         C = self.dim
+        # The reference applies knn_map to the k-expanded edge tensor
+        # (models/Transformer_utils.py:848-852): N·k rows through a (2C, C)
+        # dense. COMMUTED here past the gather with the SAME single kernel
+        # (virtual W1/W2 halves selected by zero-padding the input):
+        #   cat(nbr − q, q) @ [W1; W2] + b
+        #     == gather(v·W1 + b) + (q·(W2−W1) + b) − b
+        # — 4× fewer MXU FLOPs at k=8 (two N-row 2C-wide dots instead of one
+        # N·k-row dot) and the k-expanded wgrad disappears from the
+        # backward. Reassociation-only vs the cat form (tested); kNN
+        # selection and the gather itself are unchanged.
+        d = dense(C, name="knn_map")
         if denoise_length == 0:
             if v is None:
                 v = q
@@ -340,13 +351,15 @@ class DynamicGraphAttention(nn.Module):
                 v_pos = q_pos
             if idx is None:
                 idx = knn_point(self.k, v_pos, q_pos)
-            local_v = index_points(v, idx)
+            u = d(jnp.concatenate([v, jnp.zeros_like(v)], axis=-1))  # v·W1 + b
+            local_u = index_points(u, idx)
         else:
             assert v is None and v_pos is None and idx is None
-            (local_v,) = _two_phase_knn_gather(
-                self.k, q_pos, q_pos, (q,), denoise_length
+            u = d(jnp.concatenate([q, jnp.zeros_like(q)], axis=-1))
+            (local_u,) = _two_phase_knn_gather(
+                self.k, q_pos, q_pos, (u,), denoise_length
             )
-        qk = jnp.broadcast_to(q[:, :, None], local_v.shape)
-        feature = jnp.concatenate([local_v - qk, qk], axis=-1)
-        out = leaky_relu(dense(C, name="knn_map")(feature))
+        c = d(jnp.concatenate([-q, q], axis=-1))  # q·(W2−W1) + b
+        b = d(jnp.zeros((1, 1, 2 * C), q.dtype))  # bias
+        out = leaky_relu(local_u + c[:, :, None] - b[:, None])
         return jnp.max(out, axis=2)

@@ -371,3 +371,54 @@ def test_weighted_gather_sum_pallas_interpret():
     dwk, dfk = jax.grad(lambda w, f: jnp.sum(ker(w, f) * g), argnums=(0, 1))(w, f)
     np.testing.assert_allclose(np.asarray(dwk), np.asarray(dwr), rtol=2e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(dfk), np.asarray(dfr), rtol=2e-5, atol=1e-6)
+
+
+def test_dynamic_graph_attention_commuted_equivalence():
+    """DynamicGraphAttention's commuted edge conv (gather AFTER the dense,
+    nn/local_attention.py) must equal the reference cat-form
+    dense(cat(nbr−q, q)) up to f32 reassociation — normal, cross (v given),
+    and denoise two-phase paths."""
+    from flax import linen as nn
+
+    from imgadapointr_tpu.nn import local_attention as la
+    from imgadapointr_tpu.nn.layers import dense
+    from imgadapointr_tpu.ops import index_points, knn_point
+
+    C, k = 32, 6
+
+    class Ref(nn.Module):
+        @nn.compact
+        def __call__(self, q, q_pos, v=None, v_pos=None, denoise_length=0):
+            if denoise_length == 0:
+                v = q if v is None else v
+                v_pos = q_pos if v_pos is None else v_pos
+                idx = knn_point(k, v_pos, q_pos)
+                local_v = index_points(v, idx)
+            else:
+                (local_v,) = la._two_phase_knn_gather(
+                    k, q_pos, q_pos, (q,), denoise_length
+                )
+            qk = jnp.broadcast_to(q[:, :, None], local_v.shape)
+            feature = jnp.concatenate([local_v - qk, qk], axis=-1)
+            return jnp.max(la.leaky_relu(dense(C, name="knn_map")(feature)), axis=2)
+
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.normal(size=(2, 48, C)).astype(np.float32))
+    qp = jnp.asarray(rng.normal(size=(2, 48, 3)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(2, 24, C)).astype(np.float32))
+    vp = jnp.asarray(rng.normal(size=(2, 24, 3)).astype(np.float32))
+
+    new = la.DynamicGraphAttention(C, k)
+    variables = new.init(jax.random.PRNGKey(0), q, qp)
+    ref = Ref()
+    for kwargs in (
+        {},
+        {"v": v, "v_pos": vp},
+        {"denoise_length": 8},
+    ):
+        a = ref.apply(variables, q, qp, **kwargs)
+        b = new.apply(variables, q, qp, **kwargs)
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-6,
+            err_msg=str(kwargs),
+        )
