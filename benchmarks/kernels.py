@@ -221,6 +221,28 @@ def main():
     print(f"  chamfer(identical) = {same:.1e}")
     ok &= same < 1e-5
 
+    print("== Pallas row gather (lane-shuffle kernel, ops/pallas/gather_rows) ==")
+    from imgadapointr_tpu.ops.pallas.gather_rows import gather_rows_pallas
+
+    # the grouper/rebuild gather shapes; values AND grads must be
+    # bit-identical to take_along_axis (pure permutation + same scatter-add)
+    for B, M, C, S in [(32, 2048, 8, 32768), (16, 2048, 3, 32768),
+                       (32, 512, 64, 8192), (16, 512, 3, 16384)]:
+        tab = jax.random.normal(jax.random.PRNGKey(9), (B, M, C))
+        gi = jax.random.randint(jax.random.PRNGKey(10), (B, S), 0, M)
+        got = gather_rows_pallas(tab, gi)
+        want = jnp.take_along_axis(tab, gi[..., None], axis=1)
+        vmatch = bool(jnp.all(got == want))
+        ct = jax.random.normal(jax.random.PRNGKey(11), got.shape)
+        (dg,) = jax.vjp(lambda t: gather_rows_pallas(t, gi), tab)[1](ct)
+        (dw,) = jax.vjp(
+            lambda t: jnp.take_along_axis(t, gi[..., None], axis=1), tab
+        )[1](ct)
+        gmatch = bool(jnp.all(dg == dw))
+        status = "OK" if (vmatch and gmatch) else "FAIL"
+        ok &= vmatch and gmatch
+        print(f"  gather B{B} M{M} C{C} S{S}: values={vmatch} grads={gmatch} [{status}]")
+
     print("== speed (pipelined: N dispatches, one fence — no tunnel RTT) ==")
 
     def piped(name, f, *args, iters=20):
@@ -269,6 +291,18 @@ def main():
         "3nn-interp fused kernel 32x4608x576x192",
         jax.jit(lambda q, r, f, s: s + jnp.sum(three_nn_interpolate_pallas(q, r, f)[0])),
         qd, rd, fd,
+    )
+    tg = jax.random.normal(key, (32, 2048, 8))
+    ig = jax.random.randint(key, (32, 32768), 0, 2048)
+    piped(
+        "row-gather XLA 32x(2048,8)x32768",
+        jax.jit(lambda t, i, s: s + jnp.sum(jnp.take_along_axis(t, i[..., None], 1))),
+        tg, ig,
+    )
+    piped(
+        "row-gather pallas 32x(2048,8)x32768",
+        jax.jit(lambda t, i, s: s + jnp.sum(gather_rows_pallas(t, i))),
+        tg, ig,
     )
 
     print("PASS" if ok else "FAIL")

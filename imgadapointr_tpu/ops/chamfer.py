@@ -185,8 +185,14 @@ def _nn_distance_impl(x, y, w1, w2, tile):
     acc_t = jnp.promote_types(x.dtype, jnp.float32)
     x32 = x.astype(acc_t)
     y32 = y.astype(acc_t)
-    y_at_i1 = jnp.take_along_axis(y32, i1[..., None], axis=1)
-    x_at_i2 = jnp.take_along_axis(x32, i2[..., None], axis=1)
+    # index_points dispatches small-table gathers (e.g. the coarse cloud's
+    # 512-row table gathered at 16384 gt argmins) to the Pallas lane-gather
+    # kernel — bit-identical values; ~2.8 → ~0.5 ms in the train trace.
+    # Large tables (16384-row fine/gt) stay on XLA (see _use_pallas_gather).
+    from .pointops import index_points
+
+    y_at_i1 = index_points(y32, i1)
+    x_at_i2 = index_points(x32, i2)
     d1 = jnp.maximum(jnp.sum((x32 - y_at_i1) ** 2, axis=-1), 0.0)
     d2 = jnp.maximum(jnp.sum((y32 - x_at_i2) ** 2, axis=-1), 0.0)
     if w1 is not None:

@@ -109,6 +109,31 @@ def knn_with_distance(
     return -neg, idx.astype(jnp.int32)
 
 
+def _use_pallas_gather(points: jax.Array, idx: jax.Array) -> bool:
+    """Dispatch narrow large gathers to the Pallas row-gather kernel.
+
+    XLA's TPU gather is row-rate bound (~170M rows/s); the VMEM lane-gather
+    kernel is ~3-4× faster for narrow rows (see ops/pallas/gather_rows.py).
+    Gates: table resident in VMEM (M ≤ 4096 — the chunk-probe loop is
+    unrolled), narrow rows (C ≤ 128; wide gathers are bandwidth-bound and
+    XLA already handles them well), and enough total rows to be worth one
+    remote Mosaic compile per distinct shape.
+    """
+    import os
+    import numpy as np
+
+    if points.ndim != 3 or points.dtype != jnp.float32:
+        return False
+    total_rows = points.shape[0] * int(np.prod(idx.shape[1:]))
+    return (
+        jax.default_backend() == "tpu"
+        and points.shape[1] <= 4096
+        and points.shape[2] <= 128
+        and total_rows >= 1 << 15
+        and not os.environ.get("IMGADAPOINTR_DISABLE_PALLAS_GATHER")
+    )
+
+
 def index_points(points: jax.Array, idx: jax.Array) -> jax.Array:
     """Batched gather: ``out[b, ..., :] = points[b, idx[b, ...], :]``.
 
@@ -118,8 +143,17 @@ def index_points(points: jax.Array, idx: jax.Array) -> jax.Array:
     Returns:
         (B, S, C) or (B, S, K, C).
 
-    Matches reference models/Transformer_utils.py:53-69.
+    Matches reference models/Transformer_utils.py:53-69. Large narrow
+    gathers dispatch to the Pallas lane-gather kernel (bit-identical
+    values AND gradients; opt-out IMGADAPOINTR_DISABLE_PALLAS_GATHER).
     """
+    if _use_pallas_gather(points, idx):
+        from .pallas.gather_rows import gather_rows_pallas
+
+        B = idx.shape[0]
+        flat = idx.reshape(B, -1)
+        out = gather_rows_pallas(points, flat)
+        return out.reshape(*idx.shape, points.shape[2])
     return jax.vmap(lambda p, i: p[i])(points, idx)
 
 

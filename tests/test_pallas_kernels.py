@@ -143,3 +143,53 @@ def test_mxu_eval_selection_interpret():
     g = np.take_along_axis(np.asarray(y, np.float64), np.asarray(i1)[..., None], 1)
     d_sel = ((np.asarray(x, np.float64) - g) ** 2).sum(-1)
     assert float(np.abs(np.sqrt(d_sel) - np.sqrt(d1_ref)).max()) < 2e-3
+
+
+@pytest.mark.parametrize(
+    "B,M,C,S",
+    [(2, 300, 8, 700), (1, 2048, 3, 1000), (2, 512, 64, 513), (1, 129, 100, 64)],
+)
+def test_gather_rows_interpret(B, M, C, S):
+    """Pallas row gather is a pure permutation: bit-identical to
+    take_along_axis across padding regimes (M, C, S all non-multiples)."""
+    from imgadapointr_tpu.ops.pallas.gather_rows import gather_rows_pallas
+
+    rng = np.random.RandomState(0)
+    table = jnp.asarray(rng.randn(B, M, C), jnp.float32)
+    idx = jnp.asarray(rng.randint(0, M, (B, S)), jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        out = gather_rows_pallas(table, idx)
+    want = jnp.take_along_axis(table, idx[..., None], axis=1)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
+
+
+def test_gather_rows_grad_matches_xla():
+    """Custom-VJP scatter-add == XLA take_along_axis backward, bit-level
+    (duplicate indices accumulate identically)."""
+    from imgadapointr_tpu.ops.pallas.gather_rows import gather_rows_pallas
+
+    rng = np.random.RandomState(1)
+    table = jnp.asarray(rng.randn(2, 160, 5), jnp.float32)
+    # duplicates on purpose
+    idx = jnp.asarray(rng.randint(0, 40, (2, 300)), jnp.int32)
+    ct = jnp.asarray(rng.randn(2, 300, 5), jnp.float32)
+
+    with pltpu.force_tpu_interpret_mode():
+        _, vjp = jax.vjp(lambda t: gather_rows_pallas(t, idx), table)
+        (dt,) = vjp(ct)
+    _, vjp_x = jax.vjp(
+        lambda t: jnp.take_along_axis(t, idx[..., None], axis=1), table
+    )
+    (dt_x,) = vjp_x(ct)
+    np.testing.assert_array_equal(np.asarray(dt), np.asarray(dt_x))
+
+
+def test_index_points_gate_is_cpu_off():
+    """On CPU the dispatcher must stay on the XLA path (the kernel needs a
+    real TPU); the gate is also explicitly opt-out via env."""
+    from imgadapointr_tpu.ops.pointops import _use_pallas_gather
+
+    pts = jnp.zeros((16, 2048, 8), jnp.float32)
+    idx = jnp.zeros((16, 2048, 16), jnp.int32)
+    assert jax.default_backend() != "tpu"
+    assert not _use_pallas_gather(pts, idx)
