@@ -27,7 +27,7 @@ import numpy as np
 
 N_PARTIAL = 2048
 N_GT = 16384
-TRAIN_STEP_S = 0.123  # measured: bench.py train_step_ms_bs16_16384, round 3
+TRAIN_STEP_S = 0.116  # measured: bench.py train_step_ms_bs16_16384, round 3
 BATCH = 16
 
 
