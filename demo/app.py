@@ -83,13 +83,20 @@ def sample_paths(label: str, samples_dir: str = SAMPLES_DIR):
 
 
 @functools.lru_cache(maxsize=3)
+def _reconstructor(config_path: str, ckpt: str) -> PCReconstructor:
+    return PCReconstructor(os.path.join(BASE_DIR, config_path), ckpt)
+
+
 def get_reconstructor(model_name: str, ckpt_dir: str) -> PCReconstructor:
+    # checkpoint existence is re-checked on every call (the cache keys on
+    # the RESOLVED path), so dropping the .ckpt in after launch picks up
+    # real weights instead of pinning the random-init fallback forever
     config_path, ckpt_name = MODEL_CONFIGS[model_name]
     ckpt = os.path.join(ckpt_dir, ckpt_name)
     if not os.path.exists(ckpt):
         print(f"[demo] WARNING: {ckpt} missing — {model_name} runs RANDOM-INIT")
         ckpt = ""
-    return PCReconstructor(os.path.join(BASE_DIR, config_path), ckpt)
+    return _reconstructor(config_path, ckpt)
 
 
 def load_sample_points(label: str, samples_dir: str = SAMPLES_DIR) -> np.ndarray:

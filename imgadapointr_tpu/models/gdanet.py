@@ -101,6 +101,7 @@ def _aggregate_neighbours(A_local, nbr_idx, x):
     K = A_local.shape[-1]
     if (
         jax.default_backend() == "tpu"
+        and x.dtype == jnp.float32  # kernel pads/returns f32 unconditionally
         and N * K >= 1 << 14
         and N <= 2048
         and C <= 256

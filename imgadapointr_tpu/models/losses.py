@@ -49,8 +49,11 @@ def cycle_alpha(epoch, step_size=5, max_lr=1.0, base_lr=0.01, gamma=0.995):
     CycleLR(5, 1, gamma=0.995) at ImgResNetEncAdaPoinTrVariableLoss.py:36-37,
     queried per epoch at :93-95).
     """
-    e = jnp.asarray(epoch)
-    e = e.astype(jnp.promote_types(e.dtype, jnp.float32))
+    from ..utils.schedulers import _ep
+
+    # _ep, not a bare promote: an INTEGER epoch under the x64 parity harness
+    # must evaluate the table in f64 (promote_types(int32, f32) pins to f32)
+    e = _ep(epoch)
     cycle = jnp.floor(1.0 + e / (2 * step_size))
     x = jnp.abs(e / step_size - 2 * cycle + 1)
     return base_lr + (max_lr - base_lr) * jnp.maximum(0.0, 1.0 - x) * gamma**e

@@ -218,11 +218,18 @@ def three_nn_interpolate(
     # benchmarks/kernels.py gate shapes), weights use the identical
     # 1/(√d+eps) formula, and only the final weighted-sum contraction order
     # differs (HIGHEST-precision matmul vs gather+einsum, out-rel ≤ 2e-7).
+    # VMEM feasibility: the kernel's FIXED blocks — the (Mp, Cp) feats table
+    # and (8, Mp) coords — must leave room for the TS-scaled row budget
+    # inside Mosaic's 16 MB scoped limit; M=4096 with C≥900 would otherwise
+    # pass an independent M/C gate yet OOM at compile.
+    Mp = known.shape[1] + (-known.shape[1]) % 128
+    Cp = feats.shape[-1] + (-feats.shape[-1]) % 128
     if (
         jax.default_backend() == "tpu"
         and unknown.shape[1] * known.shape[1] >= 1 << 20
         and known.shape[1] <= 4096
         and feats.shape[-1] <= 1024
+        and 4 * Mp * (Cp + 8) <= 10 * 1024 * 1024
         and not os.environ.get("IMGADAPOINTR_DISABLE_PALLAS_INTERP")
     ):
         return _three_nn_interpolate_fused(unknown, known, feats, eps)

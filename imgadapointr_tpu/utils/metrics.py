@@ -13,7 +13,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops import chamfer_l1, chamfer_l2, nn_distance, nn_distance_eval
+from ..ops import nn_distance, nn_distance_eval
+from ..ops.chamfer import _masked_mean
 
 METRIC_NAMES = ["F-Score", "CDL1", "CDL2", "EMDistance"]
 # is-greater-better flags + init values (reference utils/metrics.py:16-43)
@@ -102,11 +103,15 @@ def compute_metrics(pred, gt, require_emd: bool = False, ignore_zeros: bool = Fa
     """
     w_pred = _nonzero_mask(pred) if ignore_zeros else None
     w_gt = _nonzero_mask(gt) if ignore_zeros else None
-    vals = [
-        f_score(pred, gt),
-        chamfer_l1(pred, gt, w_pred, w_gt) * 1000.0,
-        chamfer_l2(pred, gt, w_pred, w_gt) * 1000.0,
-    ]
+    # ONE (masked) NN pass serves both CDs — chamfer_l1 + chamfer_l2 would
+    # each run the identical nn_distance over the same clouds; the
+    # reductions below are bit-identical to those calls
+    d1, d2, _, _ = nn_distance(pred, gt, w_pred, w_gt)
+    s1 = jnp.sqrt(jnp.maximum(d1, 1e-24))
+    s2 = jnp.sqrt(jnp.maximum(d2, 1e-24))
+    cd_l1 = (_masked_mean(s1, w_pred) + _masked_mean(s2, w_gt)) / 2.0
+    cd_l2 = _masked_mean(d1, w_pred) + _masked_mean(d2, w_gt)
+    vals = [f_score(pred, gt), cd_l1 * 1000.0, cd_l2 * 1000.0]
     if require_emd:
         from ..ops.emd import emd_distance_metric
 
