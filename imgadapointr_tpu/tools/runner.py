@@ -244,6 +244,43 @@ class Runner:
 
     EVAL_KEYS = ("sparse_l1", "sparse_l2", "dense_l1", "dense_l2", "f_score")
 
+    def _eval_step_per_sample(self, params, batch_stats, batch):
+        """(B, 5) per-sample metric matrix — the batched-validation variant
+        of :meth:`_eval_step` (same ops, per-sample reductions, ONE device
+        fetch for the whole batch). At bs=1 the rows equal `_eval_step`'s
+        vector bit-for-bit; bs>1 buys loader/dispatch amortisation while
+        keeping per-taxonomy attribution exact (``--val_bs``)."""
+        inputs = [batch[k] for k in self.spec.inputs]
+        coarse, dense = self.module.apply(
+            {"params": params, "batch_stats": batch_stats}, *inputs, train=False
+        )
+        gt = batch["gt"]
+        from ..ops import nn_distance
+
+        d1s, d2s, _, _ = nn_distance(coarse, gt)
+        s1s = jnp.sqrt(jnp.maximum(d1s, 1e-24))
+        s2s = jnp.sqrt(jnp.maximum(d2s, 1e-24))
+        f_d, l1_d, l2_d = eval_metric_suite(dense, gt, reduce=False)
+        return jnp.stack(
+            [
+                (jnp.mean(s1s, axis=1) + jnp.mean(s2s, axis=1)) / 2.0 * 1000.0,
+                (jnp.mean(d1s, axis=1) + jnp.mean(d2s, axis=1)) * 1000.0,
+                l1_d,
+                l2_d,
+                f_d,
+            ],
+            axis=1,
+        )
+
+    def eval_step_per_sample(self, state, batch):
+        """np.ndarray (B, 5) of per-sample metrics, EVAL_KEYS order."""
+        if "eval_ps" not in self._jit_cache:
+            self._jit_cache["eval_ps"] = jax.jit(self._eval_step_per_sample)
+        batch = shard_batch(batch, self.mesh)
+        return np.asarray(
+            self._jit_cache["eval_ps"](state["params"], state["batch_stats"], batch)
+        )
+
     def eval_step(self, state, batch):
         """Returns (metrics dict of host floats — ONE device fetch —,
         (coarse, dense) device arrays)."""
@@ -464,29 +501,24 @@ def validate(runner, state, val_loader, epoch, val_writer, args, config, logger=
     category_metrics: dict[str, AverageMeter] = {}
 
     for idx, (taxonomy_ids, _, batch) in enumerate(val_loader):
-        m, _ = runner.eval_step(state, batch)
-        m = jax.device_get(m)
-        test_losses.update(
-            [
-                float(m["sparse_l1"]),
-                float(m["sparse_l2"]),
-                float(m["dense_l1"]),
-                float(m["dense_l2"]),
-            ]
-        )
-        # f_score/dense_l* are batch means — attributing them to
-        # taxonomy_ids[0] is only correct at bs=1 (the reference forces
-        # eval bs=1, main.py:43-47); fail loudly instead of silently
-        # smearing one batch's mean across the first sample's category
-        assert len(taxonomy_ids) == 1, (
-            f"validate() per-category attribution requires eval bs=1, got "
-            f"batch of {len(taxonomy_ids)}"
-        )
-        vals = [float(m["f_score"]), float(m["dense_l1"]), float(m["dense_l2"]), 0.0]
-        tax = taxonomy_ids[0]
-        if tax not in category_metrics:
-            category_metrics[tax] = AverageMeter(METRIC_NAMES)
-        category_metrics[tax].update(vals)
+        if len(taxonomy_ids) == 1:
+            # reference protocol: eval bs=1 (main.py:43-47) — unchanged path
+            m, _ = runner.eval_step(state, batch)
+            m = jax.device_get(m)
+            rows = np.array(
+                [[m[k] for k in runner.EVAL_KEYS]], dtype=np.float64
+            )
+        else:
+            # --val_bs > 1: per-SAMPLE metric rows, so per-taxonomy
+            # attribution stays exact while the forward+metrics amortise
+            # over the batch (one dispatch + one fetch per val_bs samples)
+            rows = runner.eval_step_per_sample(state, batch)
+        for b, tax in enumerate(taxonomy_ids):
+            sl1, sl2, dl1, dl2, f = (float(v) for v in rows[b])
+            test_losses.update([sl1, sl2, dl1, dl2])
+            if tax not in category_metrics:
+                category_metrics[tax] = AverageMeter(METRIC_NAMES)
+            category_metrics[tax].update([f, dl1, dl2, 0.0])
 
     # overall = mean of per-category means (reference tools/runner.py:410-411)
     if category_metrics:

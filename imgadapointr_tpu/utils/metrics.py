@@ -68,7 +68,9 @@ def f_score(
     return jnp.mean(f) if reduce else f
 
 
-def eval_metric_suite(pred: jax.Array, gt: jax.Array, th: float = 0.01):
+def eval_metric_suite(
+    pred: jax.Array, gt: jax.Array, th: float = 0.01, reduce: bool = True
+):
     """(f_score, cd_l1, cd_l2) from ONE bidirectional NN pass — EVAL ONLY.
 
     The separate ``f_score``/``chamfer_l1``/``chamfer_l2`` calls each run a
@@ -76,18 +78,22 @@ def eval_metric_suite(pred: jax.Array, gt: jax.Array, th: float = 0.01):
     same per-point NN distances, so one pass serves all three. Uses
     :func:`ops.nn_distance_eval` (MXU selection on TPU, ~2e-5 selection
     band, exact distance values — metric-safe, never for losses). Returns
-    CDs ×1000 like :func:`compute_metrics`; batch-mean values.
+    CDs ×1000 like :func:`compute_metrics`; batch means, or per-sample
+    (B,) vectors with ``reduce=False`` (batched validation needs per-sample
+    values for per-taxonomy attribution).
     """
     d1, d2, _, _ = nn_distance_eval(pred, gt)
     s1 = jnp.sqrt(jnp.maximum(d1, 1e-24))  # same floor as chamfer_l1
     s2 = jnp.sqrt(jnp.maximum(d2, 1e-24))
-    cd_l1 = (jnp.mean(s1) + jnp.mean(s2)) / 2.0 * 1000.0
-    cd_l2 = (jnp.mean(d1) + jnp.mean(d2)) * 1000.0
+    cd_l1 = (jnp.mean(s1, axis=1) + jnp.mean(s2, axis=1)) / 2.0 * 1000.0
+    cd_l2 = (jnp.mean(d1, axis=1) + jnp.mean(d2, axis=1)) * 1000.0
     precision = jnp.mean((s1 < th).astype(jnp.float32), axis=1)
     recall = jnp.mean((s2 < th).astype(jnp.float32), axis=1)
     denom = precision + recall
     f = jnp.where(denom > 0, 2.0 * precision * recall / jnp.maximum(denom, 1e-12), 0.0)
-    return jnp.mean(f), cd_l1, cd_l2
+    if reduce:
+        return jnp.mean(f), jnp.mean(cd_l1), jnp.mean(cd_l2)
+    return f, cd_l1, cd_l2
 
 
 def compute_metrics(pred, gt, require_emd: bool = False, ignore_zeros: bool = False):

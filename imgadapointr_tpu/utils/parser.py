@@ -26,6 +26,14 @@ def get_args(argv=None):
     parser.add_argument("--start_ckpts", type=str, default=None)
     parser.add_argument("--ckpts", type=str, default=None)
     parser.add_argument("--val_freq", type=int, default=1)
+    parser.add_argument(
+        "--val_bs",
+        type=int,
+        default=1,
+        help="validation batch size (default 1 = reference protocol; "
+        "higher values batch the val forward+metrics with exact per-sample "
+        "attribution — a ragged final batch costs one extra jit compile)",
+    )
     parser.add_argument("--resume", action="store_true", default=False)
     parser.add_argument("--test", action="store_true", default=False)
     parser.add_argument("--mode", choices=["easy", "median", "hard", None], default=None)

@@ -48,7 +48,9 @@ def main():
     # here the mesh data axis splits across devices, loader across hosts
     config.dataset.train.others.bs = config.total_bs
     if "val" in config.dataset:
-        config.dataset.val.others.bs = 1
+        # reference protocol is bs=1; --val_bs batches validation with
+        # per-SAMPLE metric rows (per-taxonomy attribution stays exact)
+        config.dataset.val.others.bs = max(1, int(getattr(args, "val_bs", 1)))
     if "test" in config.dataset:
         config.dataset.test.others.bs = 1
 
