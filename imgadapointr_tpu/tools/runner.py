@@ -638,34 +638,43 @@ def _test_shapenet55(runner, state, test_loader, args, config, logger=None):
     )
     category_metrics: dict[str, AverageMeter] = {}
 
+    viewpoints = jnp.asarray(SHAPENET55_VIEWPOINTS, jnp.float32)  # (8, 3)
+
     @jax.jit
-    def crop_and_eval(params, batch_stats, gt, viewpoint):
-        partial, _ = separate_point_cloud(gt, num_crop, fixed_point=viewpoint)
-        partial = fps(partial, 2048)
-        vec, _ = runner._eval_step(params, batch_stats, {"partial": partial, "gt": gt})
-        return vec
+    def crop_and_eval_all(params, batch_stats, gt):
+        # ALL 8 viewpoint crops as ONE batched forward + per-sample metric
+        # rows — the crops are independent samples of the protocol, so this
+        # is dispatch/fetch amortisation (8 round-trips → 1 per gt cloud),
+        # not a semantic change; per-crop reductions are per-row as before.
+        def crop(vp):
+            partial, _ = separate_point_cloud(gt, num_crop, fixed_point=vp)
+            return fps(partial, 2048)
+
+        partials = jax.vmap(crop)(viewpoints)  # (8, 1, 2048, 3)
+        partials = partials.reshape(len(SHAPENET55_VIEWPOINTS), 2048, 3)
+        gt_rep = jnp.broadcast_to(
+            gt, (len(SHAPENET55_VIEWPOINTS),) + gt.shape[1:]
+        )
+        return runner._eval_step_per_sample(
+            params, batch_stats, {"partial": partials, "gt": gt_rep}
+        )  # (8, 5)
 
     for idx, (taxonomy_ids, model_ids, batch) in enumerate(test_loader):
+        assert len(taxonomy_ids) == 1, (
+            f"ShapeNet-55 test per-category attribution requires eval "
+            f"bs=1, got batch of {len(taxonomy_ids)}"
+        )
         gt = jnp.asarray(batch["gt"][:, :npoints])
-        for vp in SHAPENET55_VIEWPOINTS:
-            # one packed fetch per crop (8 crops × n_samples over the tunnel)
-            m = dict(zip(Runner.EVAL_KEYS, np.asarray(
-                crop_and_eval(
-                    state["params"], state["batch_stats"], gt,
-                    jnp.asarray(vp, jnp.float32),
-                )
-            )))
-            test_losses.update(
-                [float(m["sparse_l1"]), float(m["sparse_l2"]),
-                 float(m["dense_l1"]), float(m["dense_l2"])]
+        rows = np.asarray(
+            crop_and_eval_all(state["params"], state["batch_stats"], gt)
+        )
+        tax = taxonomy_ids[0]
+        for row in rows:
+            sl1, sl2, dl1, dl2, f = (float(v) for v in row)
+            test_losses.update([sl1, sl2, dl1, dl2])
+            category_metrics.setdefault(tax, AverageMeter(METRIC_NAMES)).update(
+                [f, dl1, dl2, 0.0]
             )
-            assert len(taxonomy_ids) == 1, (
-                f"ShapeNet-55 test per-category attribution requires eval "
-                f"bs=1, got batch of {len(taxonomy_ids)}"
-            )
-            vals = [float(m["f_score"]), float(m["dense_l1"]), float(m["dense_l2"]), 0.0]
-            tax = taxonomy_ids[0]
-            category_metrics.setdefault(tax, AverageMeter(METRIC_NAMES)).update(vals)
 
     per_cat = np.array([am.avg() for am in category_metrics.values()])
     overall = per_cat.mean(axis=0) if len(per_cat) else np.zeros(len(METRIC_NAMES))
