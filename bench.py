@@ -29,6 +29,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+from imgadapointr_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()  # timings below start after compile; cache only
+# cuts the wait, it cannot affect the measured step rate
+
 # Derived estimate for the reference eval path on A100 — see module
 # docstring + benchmarks/RESULTS.md "Baseline derivation".
 A100_EST_COMPLETIONS_PER_S = 150.0

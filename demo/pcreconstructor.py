@@ -19,6 +19,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 class PCReconstructor:
     def __init__(self, config_path, ckpt_path):
+        from imgadapointr_tpu.utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
+
         import jax
 
         from imgadapointr_tpu.models.build import build_model_spec

@@ -29,6 +29,14 @@ from .sampling import (
     separate_point_cloud,
     train_random_crop,
 )
+from .sharded import (
+    make_points_mesh,
+    sharded_chamfer_l1,
+    sharded_chamfer_l2,
+    sharded_fps,
+    sharded_knn,
+    sharded_nn_distance,
+)
 from .emd import emd_auction, emd_distance_metric
 from .normals import estimate_pointcloud_normals
 from .gridding import (
@@ -61,4 +69,10 @@ __all__ = [
     "random_dropping",
     "separate_point_cloud",
     "train_random_crop",
+    "make_points_mesh",
+    "sharded_nn_distance",
+    "sharded_chamfer_l1",
+    "sharded_chamfer_l2",
+    "sharded_knn",
+    "sharded_fps",
 ]

@@ -108,9 +108,11 @@ def _nn_one_direction(
             base + tile,
         ), None
 
+    # derive the carry init from xsq so shard_map's varying-manual-axes
+    # tracking sees consistent types when this runs inside ops/sharded.py
     init = (
-        jnp.full((B, N), jnp.inf, acc_t),
-        jnp.zeros((B, N), jnp.int32),
+        jnp.full_like(xsq, jnp.inf),
+        jnp.zeros_like(xsq, dtype=jnp.int32),
         jnp.int32(0),
     )
     (best_d, best_i, _), _ = jax.lax.scan(step, init, (y_tiles, w_tiles))

@@ -37,6 +37,10 @@ def get_args(argv=None):
 
 
 def _build(args):
+    from imgadapointr_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     import jax
 
     from imgadapointr_tpu.models.build import build_model_spec

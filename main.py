@@ -25,6 +25,10 @@ def main():
 
     args = get_args()
 
+    from imgadapointr_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()  # cross-process reuse of the minutes-long compiles
+
     import jax
 
     # multi-host: initialize the distributed runtime when launched via a
