@@ -309,6 +309,54 @@ def main():
         tg, ig,
     )
 
+    # two-level hi/lo gather (M > 4096 regime — the chamfer residual
+    # gathers): bit-exactness gate + speed vs XLA at the flagship shape
+    th = jax.random.normal(key, (16, 16384, 3))
+    ih = jax.random.randint(key, (16, 16384), 0, 16384)
+    oh = np.asarray(jax.jit(gather_rows_pallas)(th, ih))
+    oref = np.asarray(
+        jax.jit(lambda t, i: jnp.take_along_axis(t, i[..., None], 1))(th, ih)
+    )
+    hilo_exact = np.array_equal(oh, oref)
+    print(f"hi/lo gather 16x(16384,3)x16384 bit-exact: {hilo_exact}")
+    ok &= hilo_exact
+    piped(
+        "row-gather XLA 16x(16384,3)x16384",
+        jax.jit(lambda t, i, s: s + jnp.sum(jnp.take_along_axis(t, i[..., None], 1))),
+        th, ih,
+    )
+    piped(
+        "row-gather hi/lo pallas 16x(16384,3)x16384",
+        jax.jit(lambda t, i, s: s + jnp.sum(gather_rows_pallas(t, i))),
+        th, ih,
+    )
+
+    # MXU one-hot scatter-add (chamfer-VJP cross terms): f32-rounding
+    # agreement gate (accumulation order differs by design) + speed
+    from imgadapointr_tpu.ops.pallas.scatter_rows import scatter_add_rows_pallas
+
+    vs = jax.random.normal(key, (16, 16384, 3))
+    osc = np.asarray(jax.jit(lambda i, v: scatter_add_rows_pallas(16384, i, v))(ih, vs))
+    xsc = np.asarray(
+        jax.jit(
+            jax.vmap(lambda i, v: jnp.zeros((16384, 3)).at[i].add(v))
+        )(ih, vs)
+    )
+    srel = float(np.abs(osc - xsc).max() / max(np.abs(xsc).max(), 1e-9))
+    print(f"scatter-add 16x16384->16384 rel err vs XLA: {srel:.2e}")
+    ok &= srel < 1e-6
+    piped(
+        "scatter-add XLA 16x16384->16384",
+        jax.jit(lambda i, v, s: s + jnp.sum(
+            jax.vmap(lambda ii, vv: jnp.zeros((16384, 3)).at[ii].add(vv))(i, v))),
+        ih, vs,
+    )
+    piped(
+        "scatter-add pallas 16x16384->16384",
+        jax.jit(lambda i, v, s: s + jnp.sum(scatter_add_rows_pallas(16384, i, v))),
+        ih, vs,
+    )
+
     print("PASS" if ok else "FAIL")
     sys.exit(0 if ok else 1)
 
