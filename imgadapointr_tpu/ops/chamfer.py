@@ -187,10 +187,11 @@ def _nn_distance_impl(x, y, w1, w2, tile):
     acc_t = jnp.promote_types(x.dtype, jnp.float32)
     x32 = x.astype(acc_t)
     y32 = y.astype(acc_t)
-    # index_points dispatches small-table gathers (e.g. the coarse cloud's
-    # 512-row table gathered at 16384 gt argmins) to the Pallas lane-gather
-    # kernel — bit-identical values; ~2.8 → ~0.5 ms in the train trace.
-    # Large tables (16384-row fine/gt) stay on XLA (see _use_pallas_gather).
+    # index_points dispatches narrow-table gathers to the Pallas kernels —
+    # bit-identical values. Small tables (the coarse cloud's 512-row table
+    # gathered at 16384 gt argmins) hit the chunk-probe kernel (~2.8 →
+    # ~0.5 ms); the 16384-row fine/gt residual gathers hit the two-level
+    # hi/lo kernel (1.14 vs 3.46 ms XLA at 16×16384 rows, C=3).
     from .pointops import index_points
 
     y_at_i1 = index_points(y32, i1)
@@ -211,7 +212,28 @@ def _nn_distance_fwd(x, y, w1, w2, tile):
 
 
 def _scatter_add_rows(n_rows: int, idx: jax.Array, vals: jax.Array) -> jax.Array:
-    """Batched ``out[b, idx[b, j]] += vals[b, j]`` with out shape (B, n_rows, C)."""
+    """Batched ``out[b, idx[b, j]] += vals[b, j]`` with out shape (B, n_rows, C).
+
+    Large narrow scatters dispatch to the Pallas MXU one-hot kernel
+    (ops/pallas/scatter_rows.py): per-contribution arithmetic is exact,
+    accumulation order differs from the XLA scatter by f32 rounding only —
+    convergence-gated like every gradient-path kernel change
+    (benchmarks/RESULTS.md harness). Opt-out:
+    ``IMGADAPOINTR_DISABLE_PALLAS_SCATTER=1``.
+    """
+    import os
+
+    if (
+        jax.default_backend() == "tpu"
+        and vals.dtype == jnp.float32
+        and n_rows <= 16384
+        and vals.shape[-1] <= 8
+        and vals.shape[0] * vals.shape[1] >= 1 << 15
+        and not os.environ.get("IMGADAPOINTR_DISABLE_PALLAS_SCATTER")
+    ):
+        from .pallas.scatter_rows import scatter_add_rows_pallas
+
+        return scatter_add_rows_pallas(n_rows, idx, vals)
 
     def one(i, v):
         return jnp.zeros((n_rows, v.shape[-1]), v.dtype).at[i].add(v)

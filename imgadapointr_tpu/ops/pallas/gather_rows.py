@@ -42,6 +42,11 @@ from jax.experimental.pallas import tpu as pltpu
 MAX_M = 4096
 MAX_C = 128
 
+# the two-level (hi/lo) kernel below extends coverage to M ≤ 128·128 for
+# narrow rows (the chamfer-residual gathers: 16384-row tables, C=3)
+MAX_M_HILO = 16384
+MAX_C_HILO = 8
+
 
 def _gather_kernel(t_ref, idx_ref, out_ref, scratch, G: int, SU: int):
     """One (TS=SU·128)-query block: probe all G 128-row chunks per subtile.
@@ -72,7 +77,79 @@ def _gather_kernel(t_ref, idx_ref, out_ref, scratch, G: int, SU: int):
         out_ref[sl, :] = acc.T
 
 
+def _gather_hilo_kernel(u_ref, idx_ref, out_ref, G: int, SU: int, C: int):
+    """Two-level gather for big tables: idx = hi·128 + lo.
+
+    The chunk-probe loop of `_gather_kernel` is O(M/128) passes per query
+    subtile — at M=16384 that is 128 probes and XLA's row rate wins. This
+    kernel replaces the probe loop with TWO passes regardless of M:
+
+      u_ref: (C, G, 128) table laid out [channel, hi, lo] (lo on LANES);
+      1. lane-gather along lo (index tile constant across sublanes — the
+         proven dynamic-shuffle form): g[h, q] = u[c, h, lo_q];
+      2. select sublane hi_q per query via a one-hot mask + sublane
+         reduction (exactly one nonzero per column, so the f32 sum is the
+         selected value EXACTLY — still a pure permutation of input rows).
+
+    idx_ref: (1, TS); out_ref: (TS, C).
+    """
+    for u in range(SU):
+        sl = slice(u * 128, (u + 1) * 128)
+        idxq = idx_ref[0:1, sl]
+        lo = jnp.broadcast_to(jnp.bitwise_and(idxq, 127), (G, 128))
+        hi = jnp.broadcast_to(jnp.right_shift(idxq, 7), (G, 128))
+        iota_h = jax.lax.broadcasted_iota(jnp.int32, (G, 128), 0)
+        onehot = (iota_h == hi).astype(u_ref.dtype)
+        cols = []
+        for c in range(C):
+            g = jnp.take_along_axis(u_ref[c], lo, axis=1)  # (G, 128)
+            cols.append(jnp.sum(g * onehot, axis=0))  # (128,) exact select
+        cols += [cols[0]] * (out_ref.shape[1] - C)  # pad channels (sliced off)
+        out_ref[sl, :] = jnp.stack(cols, axis=0).T
+
+
+def _fwd_impl_hilo(table: jax.Array, idx: jax.Array, interpret: bool = False):
+    B, M, C = table.shape
+    S = idx.shape[1]
+    Mp = M + (-M) % 128
+    G = Mp // 128
+    Cp = C + (-C) % 8
+    Sp = S + (-S) % 128
+    TS = min(512, Sp)  # modest subtile count: the per-subtile live set is
+    # several (G, 128) tiles (scoped-VMEM lesson, see ops/pallas/gather_sum.py)
+    Sp = Sp + (-Sp) % TS
+
+    tabp = jnp.pad(table, ((0, 0), (0, Mp - M), (0, Cp - C)))
+    u = tabp.reshape(B, G, 128, Cp).transpose(0, 3, 1, 2)  # (B, Cp, G, 128)
+    idxp = jnp.pad(idx.astype(jnp.int32), ((0, 0), (0, Sp - S))).reshape(B, 1, Sp)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _gather_hilo_kernel, G=G, SU=TS // 128, C=C
+        ),
+        grid=(B, Sp // TS),
+        in_specs=[
+            pl.BlockSpec(
+                (None, Cp, G, 128),
+                lambda b, s: (b, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, 1, TS), lambda b, s: (b, 0, s), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, TS, Cp), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Sp, Cp), table.dtype),
+        interpret=interpret,
+    )(u, idxp)
+    return out[:, :S, :C]
+
+
 def _fwd_impl(table: jax.Array, idx: jax.Array, interpret: bool = False):
+    if table.shape[1] > MAX_M:  # big-table regime → two-level hi/lo kernel
+        return _fwd_impl_hilo(table, idx, interpret)
     B, M, C = table.shape
     S = idx.shape[1]
     Cp = C + (-C) % 8

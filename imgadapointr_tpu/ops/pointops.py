@@ -114,10 +114,15 @@ def _use_pallas_gather(points: jax.Array, idx: jax.Array) -> bool:
 
     XLA's TPU gather is row-rate bound (~170M rows/s); the VMEM lane-gather
     kernel is ~3-4× faster for narrow rows (see ops/pallas/gather_rows.py).
-    Gates: table resident in VMEM (M ≤ 4096 — the chunk-probe loop is
-    unrolled), narrow rows (C ≤ 128; wide gathers are bandwidth-bound and
-    XLA already handles them well), and enough total rows to be worth one
-    remote Mosaic compile per distinct shape.
+    Gates: table resident in VMEM, narrow rows (wide gathers are
+    bandwidth-bound and XLA already handles them well), and enough total
+    rows to be worth one remote Mosaic compile per distinct shape. Two
+    kernel regimes (ops/pallas/gather_rows.py):
+
+    - M ≤ 4096, C ≤ 128: chunk-probe kernel (unrolled O(M/128) probes).
+    - 4096 < M ≤ 16384, C ≤ 8: two-level hi/lo kernel (the chamfer
+      residual gathers at the paper recipe: 16384-row tables, C=3 —
+      measured 1.14 vs 3.46 ms XLA at 16×16384 rows, bit-exact).
     """
     import os
     import numpy as np
@@ -125,10 +130,11 @@ def _use_pallas_gather(points: jax.Array, idx: jax.Array) -> bool:
     if points.ndim != 3 or points.dtype != jnp.float32:
         return False
     total_rows = points.shape[0] * int(np.prod(idx.shape[1:]))
+    M, C = points.shape[1], points.shape[2]
+    fits = (M <= 4096 and C <= 128) or (M <= 16384 and C <= 8)
     return (
         jax.default_backend() == "tpu"
-        and points.shape[1] <= 4096
-        and points.shape[2] <= 128
+        and fits
         and total_rows >= 1 << 15
         and not os.environ.get("IMGADAPOINTR_DISABLE_PALLAS_GATHER")
     )

@@ -193,3 +193,57 @@ def test_index_points_gate_is_cpu_off():
     idx = jnp.zeros((16, 2048, 16), jnp.int32)
     assert jax.default_backend() != "tpu"
     assert not _use_pallas_gather(pts, idx)
+
+
+@pytest.mark.parametrize(
+    "B,M,C,S",
+    [(1, 8192, 3, 1024), (2, 5000, 5, 513), (1, 4200, 8, 300)],
+)
+def test_gather_rows_hilo_interpret(B, M, C, S):
+    """The two-level hi/lo kernel (M > 4096 regime) is also a pure
+    permutation: bit-identical to take_along_axis."""
+    from imgadapointr_tpu.ops.pallas.gather_rows import _fwd_impl_hilo
+
+    rng = np.random.RandomState(2)
+    table = jnp.asarray(rng.randn(B, M, C), jnp.float32)
+    idx = jnp.asarray(rng.randint(0, M, (B, S)), jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        out = _fwd_impl_hilo(table, idx)
+    want = jnp.take_along_axis(table, idx[..., None], axis=1)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
+
+
+@pytest.mark.parametrize(
+    "B,M,C,S,idx_hi",
+    [
+        (1, 1024, 3, 512, 1024),  # mostly unique indices
+        (1, 600, 5, 513, 16),  # heavy collisions: ~32 adds per row
+        (2, 256, 8, 128, 256),
+    ],
+)
+def test_scatter_add_rows_interpret(B, M, C, S, idx_hi):
+    """MXU one-hot scatter == XLA scatter-add to f32 rounding (exact
+    per-contribution products; only accumulation order differs)."""
+    from imgadapointr_tpu.ops.pallas.scatter_rows import scatter_add_rows_pallas
+
+    rng = np.random.RandomState(3)
+    vals = jnp.asarray(rng.randn(B, S, C), jnp.float32)
+    idx = jnp.asarray(rng.randint(0, idx_hi, (B, S)), jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        out = scatter_add_rows_pallas(M, idx, vals)
+    want = jax.vmap(lambda i, v: jnp.zeros((M, C)).at[i].add(v))(idx, vals)
+    d = float(jnp.abs(out - want).max())
+    scale = max(float(jnp.abs(want).max()), 1e-9)
+    assert d / scale < 1e-6, f"rel err {d / scale:.2e}"
+
+
+def test_scatter_gate_is_cpu_off():
+    """chamfer._scatter_add_rows stays on the XLA path on CPU, so the
+    frozen fp64/fp32 gradient goldens keep their bit-level meaning."""
+    from imgadapointr_tpu.ops.chamfer import _scatter_add_rows
+
+    idx = jnp.zeros((16, 16384), jnp.int32)
+    vals = jnp.ones((16, 16384, 3), jnp.float32)
+    assert jax.default_backend() != "tpu"
+    out = _scatter_add_rows(16384, idx, vals)
+    assert float(out[0, 0, 0]) == 16384.0  # all rows land on index 0
