@@ -330,6 +330,20 @@ def main():
         jax.jit(lambda t, i, s: s + jnp.sum(gather_rows_pallas(t, i))),
         th, ih,
     )
+    # bit-exactness across the rest of the hi/lo regime the dispatch gate
+    # admits (hardware-validated round 3): G=64 tables from ShapeNet-55
+    # (M=8192), non-128-multiple M (padding path), and the C=8 ceiling
+    for (hb, hm, hc, hs) in [(16, 8192, 3, 8192), (4, 6000, 5, 4096),
+                             (16, 12288, 8, 16384)]:
+        t2 = jax.random.normal(key, (hb, hm, hc))
+        i2 = jax.random.randint(key, (hb, hs), 0, hm)
+        o2 = np.asarray(jax.jit(gather_rows_pallas)(t2, i2))
+        r2 = np.asarray(
+            jax.jit(lambda t, i: jnp.take_along_axis(t, i[..., None], 1))(t2, i2)
+        )
+        ex2 = np.array_equal(o2, r2)
+        print(f"hi/lo gather {hb}x({hm},{hc})x{hs} bit-exact: {ex2}")
+        ok &= ex2
 
     # MXU one-hot scatter-add (chamfer-VJP cross terms): f32-rounding
     # agreement gate (accumulation order differs by design) + speed
@@ -345,6 +359,15 @@ def main():
     srel = float(np.abs(osc - xsc).max() / max(np.abs(xsc).max(), 1e-9))
     print(f"scatter-add 16x16384->16384 rel err vs XLA: {srel:.2e}")
     ok &= srel < 1e-6
+    # the ShapeNet-55 regime (n_rows=8192) — hardware-validated round 3
+    i8 = jax.random.randint(key, (16, 16384), 0, 8192)
+    o8 = np.asarray(jax.jit(lambda i, v: scatter_add_rows_pallas(8192, i, v))(i8, vs))
+    x8 = np.asarray(
+        jax.jit(jax.vmap(lambda i, v: jnp.zeros((8192, 3)).at[i].add(v)))(i8, vs)
+    )
+    s8 = float(np.abs(o8 - x8).max() / max(np.abs(x8).max(), 1e-9))
+    print(f"scatter-add 16x16384->8192 rel err vs XLA: {s8:.2e}")
+    ok &= s8 < 1e-6
     piped(
         "scatter-add XLA 16x16384->16384",
         jax.jit(lambda i, v, s: s + jnp.sum(

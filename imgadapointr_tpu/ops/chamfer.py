@@ -44,13 +44,28 @@ def _pad_to_multiple(y: jax.Array, tile: int) -> tuple[jax.Array, int]:
 
 
 def _nn_one_direction(
-    x: jax.Array, y: jax.Array, w2: jax.Array | None, tile: int
+    x: jax.Array,
+    y: jax.Array,
+    w2: jax.Array | None,
+    tile: int,
+    diff_form: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """For each x, squared distance + index of nearest valid y. Tiled over M.
 
     TPU: Pallas diff-form kernel (VPU speed-of-light for K=3 distances, and
     opaque to the XLA fusion search that otherwise blows up compile times).
     Masked (w2) inputs fall back to the XLA scan path.
+
+    ``diff_form=True`` makes the XLA scan fallback compute per-tile
+    distances as ``Σ(x−y)²`` (elementwise, like the Pallas kernels) instead
+    of the matmul form ``|x|²−2x·y+|y|²``. The matmul form (even at
+    HIGHEST) carries a ~2⁻²⁵·(|x|²+|y|²) cancellation floor that can flip
+    near-tie argmin selections — a measured training-convergence hazard
+    (benchmarks/RESULTS.md "selection precision is gradient quality").
+    ``ops/sharded.py`` forces this so the point-sharded ops select in
+    diff-form at EVERY per-block size, independent of the Pallas dispatch
+    gate below (whose per-block pair count can fall under 2²² even when
+    the global problem is large).
     """
     # size-gated: each distinct-shape pallas_call is a separate remote
     # Mosaic compile; small chamfers stay on the XLA scan path
@@ -83,21 +98,30 @@ def _nn_one_direction(
     def step(carry, inp):
         best_d, best_i, base = carry
         yt, wt = inp  # (B, tile, 3), (B, tile)
-        ysq = jnp.sum(yt * yt, axis=-1)  # (B, tile)
-        # HIGHEST precision: bf16 matmul error (~5e-3) would dominate small
-        # nearest-neighbour distances via the |x|^2 - 2x·y + |y|^2 cancellation.
-        d = (
-            xsq[:, :, None]
-            - 2.0
-            * jnp.einsum(
-                "bnc,bmc->bnm",
-                x32,
-                yt,
-                preferred_element_type=acc_t,
-                precision=jax.lax.Precision.HIGHEST,
+        if diff_form:
+            # elementwise Σ(x−y)²: no cancellation floor; selection matches
+            # the Pallas diff-form kernels (XLA fuses the broadcasted
+            # subtract into the reduction — the (B,N,tile,3) temp is virtual)
+            d = jnp.sum(
+                (x32[:, :, None, :] - yt[:, None, :, :]) ** 2, axis=-1
             )
-            + ysq[:, None, :]
-        )
+        else:
+            ysq = jnp.sum(yt * yt, axis=-1)  # (B, tile)
+            # HIGHEST precision: bf16 matmul error (~5e-3) would dominate
+            # small nearest-neighbour distances via the |x|^2 - 2x·y + |y|^2
+            # cancellation.
+            d = (
+                xsq[:, :, None]
+                - 2.0
+                * jnp.einsum(
+                    "bnc,bmc->bnm",
+                    x32,
+                    yt,
+                    preferred_element_type=acc_t,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                + ysq[:, None, :]
+            )
         d = jnp.where(wt[:, None, :] > 0, d, jnp.inf)
         dmin = jnp.min(d, axis=-1)
         amin = jnp.argmin(d, axis=-1).astype(jnp.int32) + base
@@ -226,14 +250,15 @@ def _scatter_add_rows(n_rows: int, idx: jax.Array, vals: jax.Array) -> jax.Array
     if (
         jax.default_backend() == "tpu"
         and vals.dtype == jnp.float32
-        and n_rows <= 16384
-        and vals.shape[-1] <= 8
         and vals.shape[0] * vals.shape[1] >= 1 << 15
         and not os.environ.get("IMGADAPOINTR_DISABLE_PALLAS_SCATTER")
     ):
-        from .pallas.scatter_rows import scatter_add_rows_pallas
+        # gate thresholds live with the kernel so dispatch and VMEM
+        # budget can never drift apart
+        from .pallas.scatter_rows import MAX_C, MAX_M, scatter_add_rows_pallas
 
-        return scatter_add_rows_pallas(n_rows, idx, vals)
+        if n_rows <= MAX_M and vals.shape[-1] <= MAX_C:
+            return scatter_add_rows_pallas(n_rows, idx, vals)
 
     def one(i, v):
         return jnp.zeros((n_rows, v.shape[-1]), v.dtype).at[i].add(v)

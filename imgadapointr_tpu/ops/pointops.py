@@ -71,7 +71,10 @@ def knn_point(nsample: int, xyz: jax.Array, new_xyz: jax.Array) -> jax.Array:
 
 
 def knn_with_distance(
-    nsample: int, xyz: jax.Array, new_xyz: jax.Array
+    nsample: int,
+    xyz: jax.Array,
+    new_xyz: jax.Array,
+    diff_form: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Like :func:`knn_point` but also returns the squared distances.
 
@@ -80,6 +83,12 @@ def knn_with_distance(
     interpolation weights are constants to autograd), so neither path here
     propagates tangents. This also lets the Pallas kernel (no JVP rule) sit
     inside differentiated graphs.
+
+    ``diff_form=True`` makes the XLA fallback rank by elementwise ``Σ(q−x)²``
+    distances (the Pallas peeling kernel's form — no matmul cancellation
+    floor) instead of :func:`square_distance`'s matmul form; used by
+    ``ops/sharded.py`` so per-block selection is consistent at every block
+    size regardless of the Pallas dispatch gate.
     """
     import os
 
@@ -129,15 +138,20 @@ def _use_pallas_gather(points: jax.Array, idx: jax.Array) -> bool:
 
     if points.ndim != 3 or points.dtype != jnp.float32:
         return False
+    if jax.default_backend() != "tpu" or os.environ.get(
+        "IMGADAPOINTR_DISABLE_PALLAS_GATHER"
+    ):
+        return False
+    # regime thresholds live with the kernel (gather_rows.py) so this gate
+    # and the kernel's internal probe/hi-lo switch can never drift apart
+    from .pallas.gather_rows import MAX_C, MAX_C_HILO, MAX_M, MAX_M_HILO
+
     total_rows = points.shape[0] * int(np.prod(idx.shape[1:]))
     M, C = points.shape[1], points.shape[2]
-    fits = (M <= 4096 and C <= 128) or (M <= 16384 and C <= 8)
-    return (
-        jax.default_backend() == "tpu"
-        and fits
-        and total_rows >= 1 << 15
-        and not os.environ.get("IMGADAPOINTR_DISABLE_PALLAS_GATHER")
+    fits = (M <= MAX_M and C <= MAX_C) or (
+        M <= MAX_M_HILO and C <= MAX_C_HILO
     )
+    return fits and total_rows >= 1 << 15
 
 
 def index_points(points: jax.Array, idx: jax.Array) -> jax.Array:

@@ -13,11 +13,16 @@ Design (per op, all exact — no approximation):
 - ``sharded_nn_distance``: each device holds an N/p slice of ``x`` and an
   M/p block of ``y``. A p-step ``ppermute`` ring circulates the y-blocks;
   each step updates a running (min, argmin) for the local x rows using the
-  same tiled scan as the unsharded op. Ties break by LOWEST GLOBAL INDEX
-  (enforced explicitly, so the result is invariant to ring order and
-  bit-identical to the unsharded op). Peak per-device memory is
-  O(B·(N + M)/p) — the (N, M) distance field is never materialised
-  globally *or* locally.
+  unsharded op's tiled scan in DIFF-FORM (``diff_form=True``): selection
+  arithmetic is the cancellation-free ``Σ(x−y)²`` of the Pallas kernels at
+  EVERY per-block size, never the matmul form whose f32 floor flips
+  near-tie picks (the convergence hazard in benchmarks/RESULTS.md) — the
+  inner Pallas gate keys on local pair count, so block form must not
+  depend on it. Ties break by LOWEST GLOBAL INDEX (enforced explicitly, so
+  the result is invariant to ring order; equal to the unsharded op except
+  near-tie picks in its matmul-form XLA-scan regime). Peak per-device
+  memory is O(B·(N + M)/p) — the (N, M) distance field is never
+  materialised globally *or* locally.
 - Gradients: a second (differentiable) ring re-gathers the winning
   neighbour coordinates block-by-block; d = |x − y[i]|² is recomputed from
   them, so ``jax.grad`` of the sharded chamfer losses flows to both clouds
@@ -77,7 +82,13 @@ def _ring_argmin(x_loc, y_blk, axis: str, p: int, mloc: int, tile: int):
 
     def step(carry, s):
         best_d, best_i, blk = carry
-        d, i = _nn_one_direction(x_loc, blk, None, tile)
+        # diff_form: per-block selection must stay in the cancellation-free
+        # elementwise form at EVERY block size — the inner op's Pallas gate
+        # keys on LOCAL pair count, so without this a big-N sharded chamfer
+        # whose blocks fall under the gate would silently select via
+        # matmul-form distances (the measured training-convergence hazard,
+        # benchmarks/RESULTS.md "selection precision is gradient quality").
+        d, i = _nn_one_direction(x_loc, blk, None, tile, diff_form=True)
         base = ((me - s) % p) * mloc  # origin shard of the block at step s
         gi = i + base
         # lowest-global-index tie-break: ring-order invariant, and equal to
@@ -128,6 +139,11 @@ def _ring_gather(y_blk, best_i, axis: str, p: int, mloc: int):
 
 def _nn_both_directions(x_loc, y_loc, axis: str, p: int, tile: int):
     """Shared shard_map body: (d1, d2, i1, i2) + gathered winners."""
+    # Barrier (same reason as chamfer._nn_distance_impl): without it XLA
+    # tries to fuse whatever produced x/y into the ring-scan body and its
+    # fusion search explodes (observed 60-500 s compiles). Differentiable
+    # big-N training losses feed model outputs straight in here.
+    x_loc, y_loc = jax.lax.optimization_barrier((x_loc, y_loc))
     nloc, mloc = x_loc.shape[1], y_loc.shape[1]
     xs = lax.stop_gradient(x_loc)
     ys = lax.stop_gradient(y_loc)
@@ -151,9 +167,13 @@ def sharded_nn_distance(
 
     Same contract as :func:`ops.chamfer.nn_distance` (d1, d2, i1, i2 with
     global indices); x:(B,N,3), y:(B,M,3), N and M divisible by the axis
-    size. Outputs stay sharded on the point dim. Exact: distances, argmin
-    indices and gradients match the unsharded op bit-for-bit on tie-free
-    clouds (and by lowest-index tie-break otherwise).
+    size. Outputs stay sharded on the point dim. Exact: selection is
+    diff-form at every block size (see module docstring); distances are
+    recomputed from the gathered winners exactly as the unsharded op does,
+    so values and gradients are bit-identical to the unsharded op whenever
+    the argmin picks agree — always, except near-ties against the
+    unsharded op's matmul-form XLA-scan regime (small global N·M), where
+    the sharded pick is the better-conditioned one.
     """
     p = mesh.shape[axis]
     _check_div(x, y, p, axis)
@@ -224,16 +244,16 @@ def sharded_knn(
     Matches :func:`ops.pointops.knn_point` (ascending distance, ties by
     lowest global index): queries (B,S,3) sharded on S, reference points
     (B,N,3) circulated block-by-block; a running top-k per query row is
-    merged each ring step via a two-key (distance, index) sort. Requires
+    merged each ring step via a two-key (distance, index) sort. Per-block
+    ranking uses diff-form distances (the Pallas peeling kernel's
+    arithmetic) at every block size — near-tie ranks can differ from the
+    unsharded op only in its matmul-form XLA-top_k regime. Requires
     ``nsample <= N / axis_size`` (each block must fill a candidate set).
     Returns (B, S, nsample) int32, sharded on S. Non-differentiable
     (pointnet2 parity, like the unsharded op).
     """
     p = mesh.shape[axis]
-    assert xyz.shape[1] % p == 0 and new_xyz.shape[1] % p == 0, (
-        f"point dims {xyz.shape[1]}/{new_xyz.shape[1]} must divide the "
-        f"'{axis}' axis ({p} devices)"
-    )
+    _check_div(xyz, new_xyz, p, axis)
     mloc = xyz.shape[1] // p
     assert nsample <= mloc, (
         f"nsample={nsample} exceeds the per-device block {mloc}; "
@@ -242,12 +262,16 @@ def sharded_knn(
     from .pointops import knn_with_distance
 
     def body(xyz_loc, q_loc):
+        xyz_loc, q_loc = lax.optimization_barrier((xyz_loc, q_loc))
         me = lax.axis_index(axis)
         B, sloc, _ = q_loc.shape
 
         def step(carry, s):
             best_d, best_i, blk = carry
-            d, i = knn_with_distance(nsample, blk, q_loc)  # (B, sloc, k)
+            # diff_form: block-size-independent selection (see _ring_argmin)
+            d, i = knn_with_distance(
+                nsample, blk, q_loc, diff_form=True
+            )  # (B, sloc, k)
             gi = i + ((me - s) % p) * mloc
             dcat = jnp.concatenate([best_d, d.astype(jnp.float32)], axis=-1)
             icat = jnp.concatenate([best_i, gi], axis=-1)
@@ -281,19 +305,20 @@ def sharded_fps(
     Matches :func:`ops.pointops.furthest_point_sample` (seed = global index
     0, argmax ties by lowest index): each iteration takes a local argmax of
     the sharded cache, then pmax/pmin/psum reductions over the axis pick
-    the global winner. Returns (B, npoint) int32 global indices, replicated.
+    the global winner. Distances are diff-form ``Σ(x−last)²`` (the Pallas
+    FPS kernel's arithmetic, cancellation-free at every block size); the
+    unsharded op's matmul-form XLA regime can disagree only on near-tie
+    argmax winners. Returns (B, npoint) int32 global indices, replicated.
     """
     p = mesh.shape[axis]
-    assert xyz.shape[1] % p == 0, (
-        f"N={xyz.shape[1]} must divide the '{axis}' axis ({p} devices)"
-    )
+    _check_div(xyz, xyz, p, axis)
     nloc = xyz.shape[1] // p
 
     def body(x_loc):
+        (x_loc,) = lax.optimization_barrier((x_loc,))
         me = lax.axis_index(axis)
         x_loc = x_loc.astype(jnp.float32)
         B = x_loc.shape[0]
-        xsq = jnp.sum(x_loc * x_loc, axis=-1)  # (B, nloc)
 
         # seed: global index 0 lives at local row 0 of shard 0
         seed = jnp.where(me == 0, x_loc[:, 0, :], 0.0)
@@ -301,17 +326,10 @@ def sharded_fps(
 
         def body_it(it, state):
             mindist, idxs, last = state
-            d = (
-                xsq
-                - 2.0
-                * jnp.einsum(
-                    "bnc,bc->bn",
-                    x_loc,
-                    last,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                + jnp.sum(last * last, axis=-1)[:, None]
-            )
+            # diff-form |x − last|²: cancellation-free, block-size
+            # independent (the matmul form's f32 floor could flip the
+            # argmax winner vs the Pallas FPS kernel's selection)
+            d = jnp.sum((x_loc - last[:, None, :]) ** 2, axis=-1)
             mindist = jnp.minimum(mindist, d)
             loc = jnp.argmax(mindist, axis=-1)  # (B,)
             val = jnp.take_along_axis(mindist, loc[:, None], axis=1)[:, 0]

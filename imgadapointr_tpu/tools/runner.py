@@ -211,45 +211,18 @@ class Runner:
             yield queue.popleft()
 
     # -------------------------------------------------------------- eval step
-    def _eval_step(self, params, batch_stats, batch):
-        inputs = [batch[k] for k in self.spec.inputs]
-        coarse, dense = self.module.apply(
-            {"params": params, "batch_stats": batch_stats}, *inputs, train=False
-        )
-        gt = batch["gt"]
-        # ONE bidirectional NN pass serves dense CD-L1/L2 AND F-score (they
-        # all derive from the same per-point NN distances — previously 3
-        # full dense-sized passes); same sharing for the sparse pair. The
-        # dense pass uses the eval-only MXU selection kernel; exact
-        # selection remains the loss-path rule (ops/chamfer.py).
-        from ..ops import nn_distance
+    def _eval_metrics_core(self, params, batch_stats, batch):
+        """ONE metric body for both eval variants: (B, 5) per-sample matrix
+        in EVAL_KEYS order, plus the (coarse, dense) predictions.
 
-        d1s, d2s, _, _ = nn_distance(coarse, gt)
-        s1s = jnp.sqrt(jnp.maximum(d1s, 1e-24))
-        s2s = jnp.sqrt(jnp.maximum(d2s, 1e-24))
-        f_dense, dense_l1, dense_l2 = eval_metric_suite(dense, gt)
-        # metrics leave the device as ONE stacked vector: each separate
-        # scalar fetch pays a ~35 ms round-trip over a remote-TPU tunnel,
-        # and validate()/test() fetch per SAMPLE at bs=1
-        vec = jnp.stack(
-            [
-                (jnp.mean(s1s) + jnp.mean(s2s)) / 2.0 * 1000.0,
-                (jnp.mean(d1s) + jnp.mean(d2s)) * 1000.0,
-                dense_l1,
-                dense_l2,
-                f_dense,
-            ]
-        )
-        return vec, (coarse, dense)
-
-    EVAL_KEYS = ("sparse_l1", "sparse_l2", "dense_l1", "dense_l2", "f_score")
-
-    def _eval_step_per_sample(self, params, batch_stats, batch):
-        """(B, 5) per-sample metric matrix — the batched-validation variant
-        of :meth:`_eval_step` (same ops, per-sample reductions, ONE device
-        fetch for the whole batch). At bs=1 the rows equal `_eval_step`'s
-        vector bit-for-bit; bs>1 buys loader/dispatch amortisation while
-        keeping per-taxonomy attribution exact (``--val_bs``)."""
+        ONE bidirectional NN pass serves sparse CD-L1 AND CD-L2 (they both
+        derive from the same per-point NN distances — previously separate
+        full passes); ``eval_metric_suite`` does the same sharing for the
+        dense CD-L1/L2/F triple. Exact selection remains the loss-path
+        rule (ops/chamfer.py). Metrics leave the device as ONE stacked
+        array: each separate scalar fetch pays a ~35 ms round-trip over a
+        remote-TPU tunnel, and validate()/test() fetch per sample at bs=1.
+        """
         inputs = [batch[k] for k in self.spec.inputs]
         coarse, dense = self.module.apply(
             {"params": params, "batch_stats": batch_stats}, *inputs, train=False
@@ -261,7 +234,7 @@ class Runner:
         s1s = jnp.sqrt(jnp.maximum(d1s, 1e-24))
         s2s = jnp.sqrt(jnp.maximum(d2s, 1e-24))
         f_d, l1_d, l2_d = eval_metric_suite(dense, gt, reduce=False)
-        return jnp.stack(
+        per_sample = jnp.stack(
             [
                 (jnp.mean(s1s, axis=1) + jnp.mean(s2s, axis=1)) / 2.0 * 1000.0,
                 (jnp.mean(d1s, axis=1) + jnp.mean(d2s, axis=1)) * 1000.0,
@@ -271,6 +244,22 @@ class Runner:
             ],
             axis=1,
         )
+        return per_sample, (coarse, dense)
+
+    def _eval_step(self, params, batch_stats, batch):
+        """(5,) batch-mean metric vector + (coarse, dense) predictions."""
+        per_sample, preds = self._eval_metrics_core(params, batch_stats, batch)
+        return jnp.mean(per_sample, axis=0), preds
+
+    EVAL_KEYS = ("sparse_l1", "sparse_l2", "dense_l1", "dense_l2", "f_score")
+
+    def _eval_step_per_sample(self, params, batch_stats, batch):
+        """(B, 5) per-sample metric matrix — the batched-validation variant
+        of :meth:`_eval_step` (same body, no batch reduction). At bs=1 the
+        row equals `_eval_step`'s vector bit-for-bit; bs>1 buys
+        loader/dispatch amortisation while keeping per-taxonomy attribution
+        exact (``--val_bs``)."""
+        return self._eval_metrics_core(params, batch_stats, batch)[0]
 
     def eval_step_per_sample(self, state, batch):
         """np.ndarray (B, 5) of per-sample metrics, EVAL_KEYS order."""
