@@ -380,6 +380,33 @@ def main():
         ih, vs,
     )
 
+    print("== EMD auction top-2 kernel (test-protocol shape 16384², 100 it) ==")
+    from imgadapointr_tpu.ops.emd import _auction_batch
+
+    ex = jax.random.uniform(key, (1, 16384, 3))
+    ey = jax.random.uniform(jax.random.PRNGKey(7), (1, 16384, 3))
+
+    def emd_of(use_pallas):
+        def f(a, b, s):
+            asn = _auction_batch(a, b, 0.005, 100, use_pallas=use_pallas)
+            m = jnp.take_along_axis(b, asn[..., None], axis=1)
+            d = jnp.sum((a - m) ** 2, axis=-1)
+            return s + jnp.mean(jnp.sqrt(jnp.maximum(d, 0.0)))
+        return jax.jit(f)
+
+    vp = float(emd_of(True)(ex, ey, jnp.float32(0)))
+    vx = float(emd_of(False)(ex, ey, jnp.float32(0)))
+    erel = abs(vp - vx) / max(vx, 1e-9)
+    print(f"EMD value pallas {vp*1000:.4f} vs xla {vx*1000:.4f} rel {erel:.2e}")
+    # both are (eps, iterations)-bounded approximations whose per-point
+    # assignment costs may differ by ~eps (= .005 on squared distances,
+    # ~0.07 in sqrt units at these cloud scales — observed deltas are
+    # ~1e-4): gate at 1% relative, far tighter than the 15%-of-Hungarian
+    # test gate yet far outside fp noise
+    ok &= erel < 1e-2
+    piped("emd auction XLA 16384x16384 100it", emd_of(False), ex, ey, iters=3)
+    piped("emd auction pallas 16384x16384 100it", emd_of(True), ex, ey, iters=3)
+
     print("PASS" if ok else "FAIL")
     sys.exit(0 if ok else 1)
 

@@ -1,4 +1,4 @@
-"""Approximate Earth Mover's Distance via the auction algorithm (pure XLA).
+"""Approximate Earth Mover's Distance via the auction algorithm.
 
 Functional equivalent of the reference CUDA extension
 (extensions/emd/emd_cuda.cu:23-284, python wrapper emd_module.py:31-95):
@@ -9,15 +9,32 @@ assignment indices. Gradient flows to ``xyz1`` only (matching the CUDA op).
 
 Design — O(N·tile) memory like the CUDA kernel (its header: "memory
 complexity: O(n)"): the N×N cost matrix is NEVER materialised. Each auction
-iteration scans the items in tiles, computing ``value_ij = -|x_i - y_j|² -
-price_j`` on the fly (the -2x·y term is an MXU matmul at HIGHEST precision)
-while keeping a running (best, second-best, argbest) per bidder. Item-side
-acceptance is a deterministic scatter-max with lowest-bidder-index
-tie-break, replacing the CUDA kernel's atomic races. Only unassigned
-bidders bid (CUDA parity); bidders still unassigned when iterations run out
-are greedily matched to their nearest item (the CUDA version leaves them
-at the last partial state — both are approximations controlled by
-``iterations``; ours is uniformly closer to the true EMD).
+iteration computes per-bidder (best, second, argbest) of
+``value_ij = -|x_i - y_j|² - price_j`` tile-by-tile while keeping a running
+top-2; item-side acceptance is a deterministic scatter-max with
+lowest-bidder-index tie-break, replacing the CUDA kernel's atomic races.
+Only unassigned bidders bid (CUDA parity); bidders still unassigned when
+iterations run out are greedily matched to their nearest item (the CUDA
+version leaves them at the last partial state — both are approximations
+controlled by ``iterations``; ours is uniformly closer to the true EMD).
+
+Two top-2 implementations, auto-dispatched:
+
+- **Pallas fused kernel** (TPU, big clouds — the test protocol's
+  N = M = 16384): the value tile never leaves VMEM; per iteration only
+  x/y/price stream in and three (N,) vectors stream out. The XLA
+  formulation below is HBM-bound at ~6-7 passes over the (N, tile) value
+  field per iteration (see ops/pallas/auction.py). Diff-form fp32
+  distances. Opt-out: ``IMGADAPOINTR_DISABLE_PALLAS_EMD``.
+- **XLA tiled scan** (CPU, small clouds): matmul-form distances at
+  HIGHEST precision, top-2 via three linear reductions (``lax.top_k``
+  lowers to a sort on TPU and dominated the auction iteration — 10x
+  slower at N=16384).
+
+The two differ in distance arithmetic (diff-form vs matmul-form f32), so
+near-tie assignments can differ; the auction is an (eps, iterations)
+approximation by construction and both paths pass the Hungarian-agreement
+gate in tests/test_protocols.py.
 
 At the test protocol's N=16384 (eps .005, 100 iters, tools/runner.py) peak
 temp memory is N·tile·4B ≈ 128 MB instead of the 1 GB dense matrix.
@@ -26,11 +43,12 @@ temp memory is N·tile·4B ≈ 128 MB instead of the 1 GB dense matrix.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 
-_TILE = 2048  # items per inner scan step; peak temp = N * _TILE floats
+_TILE = 2048  # items per inner scan step (XLA path); peak temp = N * _TILE
 
 
 def _pad_items(y: jax.Array, tile: int):
@@ -90,60 +108,143 @@ def _tiled_top2(x32, xsq, y_tiles, ysq_tiles, bases, price_tiles):
     return best, second, best_i
 
 
-def _auction_single(x: jax.Array, y: jax.Array, eps: float, iterations: int,
-                    tile: int = _TILE):
-    """Auction assignment for one sample; x (N, 3) bidders, y (M, 3) items."""
-    N = x.shape[0]
-    tile = min(tile, max(y.shape[0], 1))
-    y_pad, M = _pad_items(y, tile)
-    Mp = y_pad.shape[0]
-    T = Mp // tile
-    big = jnp.float32(1e9)
+def _bid_update(price, assign, best, second, best_item, *, eps: float):
+    """One sample's item-side auction update: accept the winning bid per
+    item (deterministic scatter-max, lowest-bidder-index tie-break), evict
+    previous owners of items that just sold, raise sold items' prices."""
+    N = assign.shape[0]
     idx = jnp.arange(N, dtype=jnp.int32)
+    return _bid_update_rows(
+        price, assign, best, second, best_item, idx, assign < 0, eps=eps
+    )
 
+
+def _bid_update_rows(price, assign, best, second, best_item, orig, valid, *,
+                     eps: float):
+    """Row-indexed variant: the top-2 rows may be a COMPACTED view of the
+    bidders. ``orig`` (R,) maps row → original bidder index (ascending among
+    valid rows, so the lowest-bidder-index tie-break is identical to the
+    uncompacted form); ``valid`` (R,) masks live rows. With
+    ``orig = arange(N), valid = assign < 0`` this is exactly the
+    uncompacted update."""
+    N = assign.shape[0]
+    M = price.shape[0]
+    big = jnp.float32(1e9)
+    bid = price[best_item] + (best - second) + eps
+
+    item_best_bid = jnp.full((M,), -big).at[best_item].max(
+        jnp.where(valid, bid, -big)
+    )
+    is_winner = valid & (bid >= item_best_bid[best_item])
+    winner_rank = jnp.where(is_winner, orig, N)
+    item_winner = jnp.full((M,), N, jnp.int32).at[best_item].min(winner_rank)
+    won = is_winner & (item_winner[best_item] == orig)
+
+    # evict previous owner of items that just sold
+    sold_item_of = jnp.where(won, best_item, M)  # per row
+    sold = jnp.zeros((M + 1,), bool).at[sold_item_of].set(True)[:M]
+    evicted = sold[jnp.clip(assign, 0, M - 1)] & (assign >= 0)
+    assign = jnp.where(evicted, -1, assign)
+    # scatter winning rows' items back to their original bidder slots
+    # (out-of-range sentinel rows are dropped by JAX scatter semantics)
+    assign = assign.at[jnp.where(won, orig, N)].set(
+        best_item, mode="drop"
+    )
+    price = jnp.where(sold, item_best_bid, price)
+    return price, assign
+
+
+def _use_pallas_top2(x: jax.Array, y: jax.Array) -> bool:
+    # one remote Mosaic compile per distinct shape: gate to the big-cloud
+    # regime where the HBM saving dominates (the test protocol's 16384²)
+    N, M = x.shape[1], y.shape[1]
+    return (
+        jax.default_backend() == "tpu"
+        and x.dtype == jnp.float32
+        and y.dtype == jnp.float32
+        and N >= 1024
+        and M >= 1024
+        and N * M >= 1 << 22
+        and not os.environ.get("IMGADAPOINTR_DISABLE_PALLAS_EMD")
+    )
+
+
+def _auction_batch(x, y, eps: float, iterations: int,
+                   use_pallas: bool, interpret: bool = False,
+                   tile: int = _TILE):
+    """Batched auction assignment: x (B, N, 3) bidders, y (B, M, 3) items
+    → (B, N) int32 assignment into y."""
+    B, N, _ = x.shape
+    M = y.shape[1]
     x32 = x.astype(jnp.float32)
-    xsq = jnp.sum(x32 * x32, axis=-1)
-    y_tiles = y_pad.astype(jnp.float32).reshape(T, tile, 3)
-    ysq_tiles = jnp.sum(y_tiles * y_tiles, axis=-1)
-    bases = jnp.arange(T, dtype=jnp.int32) * tile
+    y32 = y.astype(jnp.float32)
 
-    def step(carry, _):
-        price, assign = carry  # price (Mp,) per item; assign (N,) bidder→item, -1 = none
-        best, second, best_item = _tiled_top2(
-            x32, xsq, y_tiles, ysq_tiles, bases, price.reshape(T, tile)
-        )
-        bid = price[best_item] + (best - second) + eps
+    idxs = jnp.arange(N, dtype=jnp.int32)
 
-        unassigned = assign < 0
-        # deterministic winner per item: scatter-max of bids, then lowest
-        # bidder index among max-bidders breaks ties
-        item_best_bid = jnp.full((Mp,), -big).at[best_item].max(
-            jnp.where(unassigned, bid, -big)
-        )
-        is_winner = unassigned & (bid >= item_best_bid[best_item])
-        winner_rank = jnp.where(is_winner, idx, N)
-        item_winner = jnp.full((Mp,), N, jnp.int32).at[best_item].min(winner_rank)
-        won = is_winner & (item_winner[best_item] == idx)
+    if use_pallas:
+        from .pallas.auction import auction_top2_pallas
 
-        # evict previous owner of items that just sold
-        sold_item_of = jnp.where(won, best_item, Mp)  # per bidder
-        sold = jnp.zeros((Mp + 1,), bool).at[sold_item_of].set(True)[:Mp]
-        evicted = sold[jnp.clip(assign, 0, Mp - 1)] & (assign >= 0)
-        assign = jnp.where(evicted, -1, assign)
-        assign = jnp.where(won, best_item, assign)
-        price = jnp.where(sold, item_best_bid, price)
-        return (price, assign), None
+        def step(carry, _):
+            # CUDA parity (calc_unass_idx, emd_cuda.cu:55-84): compact the
+            # unassigned bidders to the front so the kernel skips whole
+            # blocks of already-assigned bidders — per-iteration cost
+            # scales with the unassigned count, which collapses
+            # geometrically as the auction converges.
+            price, assign = carry  # (B, M), (B, N)
+            mask = assign < 0
+            cnt = jnp.sum(mask, axis=1).astype(jnp.int32)  # (B,)
+            pos = (jnp.cumsum(mask, axis=1) - 1).astype(jnp.int32)
+            compact = jax.vmap(
+                lambda m, p: jnp.zeros((N,), jnp.int32)
+                .at[jnp.where(m, p, N)]
+                .set(idxs, mode="drop")
+            )(mask, pos)  # (B, N): original ids of active rows, ascending
+            xg = jnp.take_along_axis(x32, compact[..., None], axis=1)
+            best, second, best_item = auction_top2_pallas(
+                xg, y32, price, cnt=cnt, interpret=interpret
+            )
+            valid = idxs[None, :] < cnt[:, None]
+            price, assign = jax.vmap(
+                functools.partial(_bid_update_rows, eps=eps)
+            )(price, assign, best, second, best_item, compact, valid)
+            return (price, assign), None
 
-    price0 = jnp.zeros((Mp,), jnp.float32)
-    assign0 = jnp.full((N,), -1, jnp.int32)
+        def top2(price):  # all-rows variant (greedy fallback only)
+            return auction_top2_pallas(x32, y32, price, interpret=interpret)
+    else:
+        tile = min(tile, max(M, 1))
+        pad = (-M) % tile
+        y_pad = jnp.pad(y32, ((0, 0), (0, pad), (0, 0)), constant_values=1e6)
+        Mp = M + pad
+        T = Mp // tile
+        y_tiles = y_pad.reshape(B, T, tile, 3)
+        ysq_tiles = jnp.sum(y_tiles * y_tiles, axis=-1)
+        bases = jnp.arange(T, dtype=jnp.int32) * tile
+        xsq = jnp.sum(x32 * x32, axis=-1)
+
+        def top2(price):
+            pt = jnp.pad(price, ((0, 0), (0, pad))).reshape(B, T, tile)
+            best, second, best_i = jax.vmap(
+                _tiled_top2, in_axes=(0, 0, 0, 0, None, 0)
+            )(x32, xsq, y_tiles, ysq_tiles, bases, pt)
+            return best, second, jnp.minimum(best_i, M - 1)
+
+        update = jax.vmap(functools.partial(_bid_update, eps=eps))
+
+        def step(carry, _):
+            price, assign = carry  # (B, M), (B, N)
+            best, second, best_item = top2(price)
+            price, assign = update(price, assign, best, second, best_item)
+            return (price, assign), None
+
+    price0 = jnp.zeros((B, M), jnp.float32)
+    assign0 = jnp.full((B, N), -1, jnp.int32)
     (price, assign), _ = jax.lax.scan(
         step, (price0, assign0), None, length=iterations
     )
     # greedy fallback for bidders still unassigned when iterations ran out:
-    # nearest item = tiled top-2 at zero price
-    _, _, nearest = _tiled_top2(
-        x32, xsq, y_tiles, ysq_tiles, bases, jnp.zeros((T, tile), jnp.float32)
-    )
+    # nearest item = top-2 at zero price
+    _, _, nearest = top2(jnp.zeros((B, M), jnp.float32))
     assign = jnp.where(assign < 0, nearest, assign)
     return jnp.minimum(assign, M - 1)
 
@@ -156,9 +257,9 @@ def emd_auction(xyz1: jax.Array, xyz2: jax.Array, eps: float = 0.005, iterations
 
 
 def _emd_forward(xyz1, xyz2, eps, iterations):
-    assign = jax.vmap(
-        lambda a, b: _auction_single(a, b, eps, iterations)
-    )(xyz1, xyz2)
+    assign = _auction_batch(
+        xyz1, xyz2, eps, iterations, use_pallas=_use_pallas_top2(xyz1, xyz2)
+    )
     matched = jnp.take_along_axis(xyz2, assign[..., None], axis=1)
     dist = jnp.sum((xyz1.astype(jnp.float32) - matched.astype(jnp.float32)) ** 2, axis=-1)
     return dist, assign
