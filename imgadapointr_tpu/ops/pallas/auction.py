@@ -51,14 +51,17 @@ def _top2_kernel(
     x_ref, y_ref, price_ref, cnt_ref, best_ref, second_ref, besti_ref, tm: int
 ):
     # x_ref: (TN, 8) bidder coords (cols 0:3); y_ref: (8, Mp) item coords;
-    # price_ref: (1, Mp); cnt_ref: (1,) SMEM active-bidder count;
+    # price_ref: (1, Mp); cnt_ref: (B, 1) SMEM active-bidder counts (full
+    # array — Mosaic requires SMEM blocks to equal the array dims unless
+    # (8, 128)-divisible, so per-sample blocking is not expressible);
     # outputs (TN//128, 128) flat row-major == (TN,)
     tn = x_ref.shape[0]
     Mp = y_ref.shape[1]
     m_chunks = Mp // tm
+    b = pl.program_id(0)
     n = pl.program_id(1)
 
-    @pl.when(n * tn < cnt_ref[0])
+    @pl.when(n * tn < cnt_ref[b, 0])
     def _():
         xx = x_ref[:, 0:1]
         xy = x_ref[:, 1:2]
@@ -149,7 +152,7 @@ def auction_top2_pallas(
             pl.BlockSpec((None, TN, 8), lambda b, n: (b, n, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((None, 8, Mp), lambda b, n: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((None, 1, Mp), lambda b, n: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 1), lambda b, n: (b, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((B, 1), lambda b, n: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=(
             pl.BlockSpec((None, rows, 128), lambda b, n: (b, n, 0), memory_space=pltpu.VMEM),

@@ -311,6 +311,35 @@ class Runner:
         m["metrics"] = list(vec[5:])
         return m
 
+    def _test_step_per_sample(self, params, batch_stats, batch, require_emd):
+        """(B, 9) per-sample rows: 5 EVAL_KEYS + the 4 reference Metrics —
+        the batched-``--test`` variant of :meth:`_test_step`. Each row is
+        one reference bs=1 test eval (per-sample ignore_zeros masks), so
+        per-taxonomy attribution stays exact at any batch size while the
+        forward, the metric NN passes and the EMD auction amortise over
+        the batch."""
+        from ..utils.metrics import compute_metrics_per_sample
+
+        per_sample, (coarse, dense) = self._eval_metrics_core(
+            params, batch_stats, batch
+        )
+        rows = compute_metrics_per_sample(
+            dense, batch["gt"], require_emd=require_emd, ignore_zeros=True
+        )
+        return jnp.concatenate([per_sample, rows], axis=1)
+
+    def test_step_per_sample(self, state, batch, require_emd=False):
+        """np.ndarray (B, 9): EVAL_KEYS + METRIC_NAMES rows, ONE fetch."""
+        key = ("test_ps", require_emd)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(
+                lambda p, bs, b: self._test_step_per_sample(p, bs, b, require_emd)
+            )
+        batch = shard_batch(batch, self.mesh)
+        return np.asarray(
+            self._jit_cache[key](state["params"], state["batch_stats"], batch)
+        )
+
 
 # ---------------------------------------------------------------------- train
 def run_net(args, config, writers=None):
@@ -575,25 +604,30 @@ def test(runner, state, test_loader, args, config, logger=None):
     category_metrics: dict[str, AverageMeter] = {}
     n = 0
     for idx, (taxonomy_ids, model_ids, batch) in enumerate(test_loader):
-        m = runner.test_step(state, batch, require_emd=require_emd)
-        m = jax.device_get(m)
-        test_losses.update(
-            [
-                float(m["sparse_l1"]),
-                float(m["sparse_l2"]),
-                float(m["dense_l1"]),
-                float(m["dense_l2"]),
-            ]
-        )
-        assert len(taxonomy_ids) == 1, (
-            f"test() per-category attribution requires eval bs=1, got "
-            f"batch of {len(taxonomy_ids)}"
-        )
-        tax = taxonomy_ids[0]
-        if tax not in category_metrics:
-            category_metrics[tax] = AverageMeter(METRIC_NAMES)
-        category_metrics[tax].update([float(v) for v in m["metrics"]])
-        n += 1
+        if len(taxonomy_ids) == 1:
+            # reference protocol: test bs=1 (main.py) — unchanged path
+            m = runner.test_step(state, batch, require_emd=require_emd)
+            m = jax.device_get(m)
+            rows = np.concatenate(
+                [
+                    np.array([[m[k] for k in runner.EVAL_KEYS]]),
+                    np.array([m["metrics"]]),
+                ],
+                axis=1,
+            )
+        else:
+            # --val_bs > 1: per-SAMPLE rows keep per-taxonomy attribution
+            # exact while the forward, the metric NN passes and the EMD
+            # auction amortise over the batch
+            rows = runner.test_step_per_sample(
+                state, batch, require_emd=require_emd
+            )
+        for b, tax in enumerate(taxonomy_ids):
+            test_losses.update([float(v) for v in rows[b, :4]])
+            if tax not in category_metrics:
+                category_metrics[tax] = AverageMeter(METRIC_NAMES)
+            category_metrics[tax].update([float(v) for v in rows[b, 5:]])
+            n += 1
 
     per_cat = (
         np.array([am.avg() for am in category_metrics.values()])

@@ -127,6 +127,45 @@ def compute_metrics(pred, gt, require_emd: bool = False, ignore_zeros: bool = Fa
     return vals
 
 
+def compute_metrics_per_sample(
+    pred, gt, require_emd: bool = False, ignore_zeros: bool = False
+):
+    """(B, 4) per-sample [F-Score, CDL1×1000, CDL2×1000, EMD×1000] rows.
+
+    Row ``b`` equals ``compute_metrics(pred[b:b+1], gt[b:b+1], ...)`` — each
+    row is one reference bs=1 eval, so per-taxonomy attribution stays exact
+    when the ``--test`` protocol batches samples (``--val_bs``) to amortise
+    dispatch and the EMD auction's per-iteration overhead. ``ignore_zeros``
+    masks are per-sample, reproducing the reference's bs=1
+    ``ChamferDistance*(ignore_zeros=True)`` semantics for every row.
+    """
+    w_pred = _nonzero_mask(pred) if ignore_zeros else None
+    w_gt = _nonzero_mask(gt) if ignore_zeros else None
+    d1, d2, _, _ = nn_distance(pred, gt, w_pred, w_gt)
+    s1 = jnp.sqrt(jnp.maximum(d1, 1e-24))
+    s2 = jnp.sqrt(jnp.maximum(d2, 1e-24))
+
+    def pmean(v, w):
+        if w is None:
+            return jnp.mean(v, axis=1)
+        w = w.astype(v.dtype)
+        return jnp.sum(v * w, axis=1) / jnp.maximum(jnp.sum(w, axis=1), 1.0)
+
+    cd_l1 = (pmean(s1, w_pred) + pmean(s2, w_gt)) / 2.0
+    cd_l2 = pmean(d1, w_pred) + pmean(d2, w_gt)
+    # reference F-Score / EMD never strip zeros (utils/metrics.py:68-90,
+    # 112-116) — same scope as compute_metrics
+    f = f_score(pred, gt, reduce=False)
+    if require_emd:
+        from ..ops.emd import emd_auction
+
+        dist, _ = emd_auction(pred, gt, 0.005, 100)
+        emd = jnp.mean(jnp.sqrt(jnp.maximum(dist, 0.0)), axis=1) * 1000.0
+    else:
+        emd = jnp.zeros(pred.shape[0])
+    return jnp.stack([f, cd_l1 * 1000.0, cd_l2 * 1000.0, emd], axis=1)
+
+
 class Metrics:
     """Value object with better_than comparison on the considered metric
     (reference utils/metrics.py:118-165)."""

@@ -56,7 +56,17 @@ def main():
         # per-SAMPLE metric rows (per-taxonomy attribution stays exact)
         config.dataset.val.others.bs = max(1, int(getattr(args, "val_bs", 1)))
     if "test" in config.dataset:
-        config.dataset.test.others.bs = 1
+        # reference protocol is bs=1; --val_bs batches the PCN test protocol
+        # with exact per-sample attribution (tools/runner.py test()). The
+        # ShapeNet-55 branch batches its 8 crops internally and KITTI dumps
+        # per-sample visualisations — both stay at bs=1.
+        tname = config.dataset.test.get("NAME", "")
+        pcn_protocol = not (
+            ("ShapeNet" in tname and "PCN" not in tname) or tname == "KITTI"
+        )
+        config.dataset.test.others.bs = (
+            max(1, int(getattr(args, "val_bs", 1))) if pcn_protocol else 1
+        )
 
     seed = args.seed + jax.process_index()
     random.seed(seed)

@@ -72,3 +72,28 @@ def test_batched_validate_matches_bs1():
     v1 = np.array(list(res1.state_dict().values()))
     v3 = np.array(list(res3.state_dict().values()))
     np.testing.assert_allclose(v3, v1, rtol=3e-5, atol=1e-6)
+
+
+def test_batched_testnet_matches_bs1():
+    """test() at --val_bs>1 (per-sample rows incl. the reference Metrics
+    four-tuple and per-sample EMD) must reproduce the bs=1 protocol table
+    to float-reassociation tolerance."""
+    from imgadapointr_tpu.tools.runner import test as test_protocol
+
+    config = _tiny_config()
+    config["dataset"] = AttrDict(
+        {"test": AttrDict({"NAME": "SyntheticPCN", "N_POINTS": 256})}
+    )
+    runner = Runner(types.SimpleNamespace(tp=1), config)
+    _, _, example = next(iter(_val_loader(1)))
+    state = runner.init_state(example)
+    state = runner.shard_state(
+        {"params": state["params"], "batch_stats": state["batch_stats"]}
+    )
+    args = types.SimpleNamespace(emd=True)
+
+    r1 = test_protocol(runner, state, _val_loader(1), args, config)
+    r3 = test_protocol(runner, state, _val_loader(3), args, config)
+
+    for k in r1:
+        np.testing.assert_allclose(r3[k], r1[k], rtol=3e-4, atol=1e-5)
