@@ -91,6 +91,11 @@ class GRNetModel(nn.Module):
         r64 = _DeconvBlock3D(1, name="dconv10")(r32, train, bn_momentum) + g64
 
         sparse = gridding_reverse(r64[..., 0], 64)  # (B, 64³, 3)
+        # Documented divergence: the reference's RandomPointSampling stays
+        # RANDOM at eval (models/external/GRNet.py:21-42 never seeds), so
+        # its eval tables jitter run to run; here eval sampling is pinned
+        # to PRNGKey(0) for reproducible metrics. Train-mode sampling is
+        # random either way.
         key = (
             self.make_rng("noise")
             if train
