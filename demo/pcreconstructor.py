@@ -98,56 +98,9 @@ class PCReconstructor:
 
 
 def _load_torch_checkpoint(state, path, model_cfg):
-    """Convert a reference torch checkpoint (.pth) into the flax state.
-
-    Accepts the reference's save formats ({'base_model': sd} from
-    tools/builder.py:130-139, {'model': sd}, or a bare state dict), strips
-    DDP 'module.' prefixes, and routes through the model-specific converter
-    (tools/convert_torch) chosen by config NAME.
-    """
-    import torch
-
+    """Reference .pth → flax state; shared loader in tools/convert_torch."""
     from imgadapointr_tpu.tools.convert_torch import (
-        convert_adapointr,
-        convert_img_adapointr,
-        convert_seg_adapointr,
+        load_torch_checkpoint_into_state,
     )
 
-    raw = torch.load(path, map_location="cpu", weights_only=False)
-    sd = raw
-    for key in ("base_model", "model", "model_state_dict", "state_dict"):
-        if isinstance(raw, dict) and key in raw and isinstance(raw[key], dict):
-            sd = raw[key]
-            break
-    sd = {
-        (k[len("module."):] if k.startswith("module.") else k): np.asarray(
-            v.detach().cpu().numpy() if hasattr(v, "detach") else v
-        )
-        for k, v in sd.items()
-    }
-    name = model_cfg.NAME
-    if name in ("ImgResNetEncAdaPoinTrVariableLoss",):
-        convert = convert_img_adapointr
-    elif "Seg" in name:
-        convert = convert_seg_adapointr
-    else:
-        convert = convert_adapointr
-    res = convert(sd, model_cfg)
-    if res.get("missing"):
-        raise ValueError(
-            f"torch checkpoint {path}: unconverted keys {res['missing'][:8]}"
-        )
-
-    def merge(dst, src):
-        out = {}
-        for k, v in dst.items():
-            if isinstance(v, dict):
-                out[k] = merge(v, src.get(k, {}))
-            else:
-                out[k] = np.asarray(src[k]) if k in src else v
-        return out
-
-    return {
-        "params": merge(state["params"], res["params"]),
-        "batch_stats": merge(state["batch_stats"], res["batch_stats"]),
-    }
+    return load_torch_checkpoint_into_state(state, path, model_cfg)

@@ -554,6 +554,47 @@ def load_torch_state(path: str) -> Dict[str, np.ndarray]:
     return out
 
 
+def load_torch_checkpoint_into_state(state, path: str, model_cfg) -> dict:
+    """Reference torch checkpoint (.pth) → initialized flax state.
+
+    Accepts the reference's save formats ({'base_model': sd} from
+    tools/builder.py:130-139, {'model': sd}, or a bare state dict), strips
+    DDP 'module.' prefixes, and routes through the model-specific converter
+    chosen by config NAME. ``state`` is an initialized {'params',
+    'batch_stats'} tree whose structure the converted weights are merged
+    into — leaves absent from the checkpoint keep their init values.
+    Used by `main.py --test --ckpts model.pth` and the demo, so a
+    reference user can point either straight at their pretrained/*.pth.
+    """
+    sd = load_torch_state(path)
+    name = model_cfg.NAME
+    if name in ("ImgResNetEncAdaPoinTrVariableLoss",):
+        convert = convert_img_adapointr
+    elif "Seg" in name:
+        convert = convert_seg_adapointr
+    else:
+        convert = convert_adapointr
+    res = convert(sd, model_cfg)
+    if res.get("missing"):
+        raise ValueError(
+            f"torch checkpoint {path}: unconverted keys {res['missing'][:8]}"
+        )
+
+    def merge(dst, src):
+        out = {}
+        for k, v in dst.items():
+            if isinstance(v, dict):
+                out[k] = merge(v, src.get(k, {}))
+            else:
+                out[k] = np.asarray(src[k]) if k in src else v
+        return out
+
+    return {
+        "params": merge(state["params"], res["params"]),
+        "batch_stats": merge(state["batch_stats"], res["batch_stats"]),
+    }
+
+
 def load_gdanet_weights(path: str):
     """--gdanet_w entry point: torch GDANet checkpoint → (params, batch_stats)."""
     state = load_torch_state(path)

@@ -570,9 +570,19 @@ def test_net(args, config):
     state = runner.init_state(example)
     state = {"params": state["params"], "batch_stats": state["batch_stats"]}
     if getattr(args, "ckpts", None):
-        exp, prefix = os.path.split(args.ckpts)
-        prefix = prefix.replace(".ckpt", "")
-        state, _ = load_checkpoint(state, prefix, exp)
+        if args.ckpts.endswith((".pth", ".pt")):
+            # reference torch checkpoint: convert in place by model NAME —
+            # `--test --ckpts pretrained.pth` works straight off the
+            # reference's published weights (same path the demo uses)
+            from .convert_torch import load_torch_checkpoint_into_state
+
+            state = load_torch_checkpoint_into_state(
+                state, args.ckpts, config.model
+            )
+        else:
+            exp, prefix = os.path.split(args.ckpts)
+            prefix = prefix.replace(".ckpt", "")
+            state, _ = load_checkpoint(state, prefix, exp)
     else:
         # reference tools/runner.py:470-472 loads ckpts or raises; evaluating
         # a random init silently would produce garbage tables

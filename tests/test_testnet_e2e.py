@@ -219,3 +219,49 @@ def test_testnet_kitti_dump(tmp_path):
     assert len(files) == 2 and all(f.endswith(".jpg") for f in files)
     for n in names:
         assert any(n in f for f in files)
+
+
+def test_testnet_accepts_reference_pth(tmp_path, capsys):
+    """`--test --ckpts model.pth` must work straight off a reference-format
+    torch checkpoint (the reference publishes pretrained .pth files; this is
+    a migrating user's first action). Roundtrip: export the tiny flax model
+    to the reference save format, then test_net from that file — the table
+    must equal testing from the native .ckpt of the same weights."""
+    import torch
+
+    from imgadapointr_tpu.tools.convert_torch import export_adapointr_torch
+
+    config = AttrDict(
+        {"model": _tiny_model(256),
+         "dataset": {"test": {"NAME": "SyntheticPCN", "N_POINTS": 256,
+                              "LENGTH": 4, "others": {"subset": "test", "bs": 1}}},
+         "consider_metric": "CDL1"}
+    )
+    exp = str(tmp_path / "exp")
+    os.makedirs(exp)
+    from imgadapointr_tpu.tools.builder import dataset_builder
+
+    _, loader = dataset_builder(
+        _args(exp, None), config.dataset["test"]
+    )
+    _, _, example = next(iter(loader))
+    ckpt = _make_checkpoint(config, exp, example)
+
+    # export the SAME weights to the reference torch format
+    from imgadapointr_tpu.utils.checkpoint import load_checkpoint
+
+    runner = Runner(types.SimpleNamespace(tp=1), config)
+    state = runner.init_state(example)
+    state = {"params": state["params"], "batch_stats": state["batch_stats"]}
+    state, _ = load_checkpoint(state, "ckpt-best", exp)
+    sd = export_adapointr_torch(state["params"], state["batch_stats"], config.model)
+    pth = str(tmp_path / "reference.pth")
+    torch.save(
+        {"base_model": {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}},
+        pth,
+    )
+
+    r_native = run_test_net(_args(exp, ckpt, emd=False), config)
+    r_pth = run_test_net(_args(exp, pth, emd=False), config)
+    for k in r_native:
+        np.testing.assert_allclose(r_pth[k], r_native[k], rtol=1e-5, atol=1e-7)
