@@ -673,41 +673,41 @@ def _test_shapenet55(runner, state, test_loader, args, config, logger=None):
 
     viewpoints = jnp.asarray(SHAPENET55_VIEWPOINTS, jnp.float32)  # (8, 3)
 
+    n_vp = len(SHAPENET55_VIEWPOINTS)
+
     @jax.jit
     def crop_and_eval_all(params, batch_stats, gt):
-        # ALL 8 viewpoint crops as ONE batched forward + per-sample metric
-        # rows — the crops are independent samples of the protocol, so this
-        # is dispatch/fetch amortisation (8 round-trips → 1 per gt cloud),
-        # not a semantic change; per-crop reductions are per-row as before.
+        # ALL 8 viewpoint crops of ALL gt clouds in the batch as ONE
+        # forward + per-sample metric rows — the crops are independent
+        # samples of the protocol, so this is dispatch/fetch amortisation
+        # (8·B round-trips → 1), not a semantic change; per-crop
+        # reductions stay per-row. gt (B, npoints, 3) → rows (8, B, 5).
         def crop(vp):
             partial, _ = separate_point_cloud(gt, num_crop, fixed_point=vp)
             return fps(partial, 2048)
 
-        partials = jax.vmap(crop)(viewpoints)  # (8, 1, 2048, 3)
-        partials = partials.reshape(len(SHAPENET55_VIEWPOINTS), 2048, 3)
-        gt_rep = jnp.broadcast_to(
-            gt, (len(SHAPENET55_VIEWPOINTS),) + gt.shape[1:]
-        )
-        return runner._eval_step_per_sample(
+        B = gt.shape[0]
+        partials = jax.vmap(crop)(viewpoints)  # (8, B, 2048, 3)
+        partials = partials.reshape(n_vp * B, 2048, 3)
+        gt_rep = jnp.broadcast_to(gt[None], (n_vp,) + gt.shape)
+        gt_rep = gt_rep.reshape(n_vp * B, *gt.shape[1:])
+        rows = runner._eval_step_per_sample(
             params, batch_stats, {"partial": partials, "gt": gt_rep}
-        )  # (8, 5)
+        )  # (8·B, 5), viewpoint-major
+        return rows.reshape(n_vp, B, rows.shape[-1])
 
     for idx, (taxonomy_ids, model_ids, batch) in enumerate(test_loader):
-        assert len(taxonomy_ids) == 1, (
-            f"ShapeNet-55 test per-category attribution requires eval "
-            f"bs=1, got batch of {len(taxonomy_ids)}"
-        )
         gt = jnp.asarray(batch["gt"][:, :npoints])
         rows = np.asarray(
             crop_and_eval_all(state["params"], state["batch_stats"], gt)
-        )
-        tax = taxonomy_ids[0]
-        for row in rows:
-            sl1, sl2, dl1, dl2, f = (float(v) for v in row)
-            test_losses.update([sl1, sl2, dl1, dl2])
-            category_metrics.setdefault(tax, AverageMeter(METRIC_NAMES)).update(
-                [f, dl1, dl2, 0.0]
-            )
+        )  # (8, B, 5)
+        for b, tax in enumerate(taxonomy_ids):
+            for row in rows[:, b]:
+                sl1, sl2, dl1, dl2, f = (float(v) for v in row)
+                test_losses.update([sl1, sl2, dl1, dl2])
+                category_metrics.setdefault(
+                    tax, AverageMeter(METRIC_NAMES)
+                ).update([f, dl1, dl2, 0.0])
 
     per_cat = np.array([am.avg() for am in category_metrics.values()])
     overall = per_cat.mean(axis=0) if len(per_cat) else np.zeros(len(METRIC_NAMES))

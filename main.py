@@ -57,15 +57,12 @@ def main():
         config.dataset.val.others.bs = max(1, int(getattr(args, "val_bs", 1)))
     if "test" in config.dataset:
         # reference protocol is bs=1; --val_bs batches the PCN test protocol
-        # with exact per-sample attribution (tools/runner.py test()). The
-        # ShapeNet-55 branch batches its 8 crops internally and KITTI dumps
-        # per-sample visualisations — both stay at bs=1.
+        # (per-sample metric rows, exact attribution) and the ShapeNet-55
+        # protocol (8 crops × val_bs gt clouds per forward). KITTI dumps
+        # per-sample visualisations and stays at bs=1.
         tname = config.dataset.test.get("NAME", "")
-        pcn_protocol = not (
-            ("ShapeNet" in tname and "PCN" not in tname) or tname == "KITTI"
-        )
         config.dataset.test.others.bs = (
-            max(1, int(getattr(args, "val_bs", 1))) if pcn_protocol else 1
+            1 if tname == "KITTI" else max(1, int(getattr(args, "val_bs", 1)))
         )
 
     seed = args.seed + jax.process_index()

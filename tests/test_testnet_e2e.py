@@ -176,6 +176,17 @@ def test_testnet_shapenet55_eight_crop(tmp_path, capsys):
     assert np.isfinite(result["CDL1"]) and result["CDL1"] > 0
     assert "[ShapeNet-55 hard]" in capsys.readouterr().out
 
+    # batched gt clouds (--val_bs analog): 8 crops × 2 gts in one forward
+    # must reproduce the bs=1 table (per-row reductions, exact attribution)
+    dataset_cfg2 = dict(dataset_cfg, others={"subset": "test", "bs": 2})
+    config2 = AttrDict(
+        {"model": _tiny_model(512), "dataset": {"test": dataset_cfg2},
+         "consider_metric": "CDL2"}
+    )
+    result2 = run_test_net(_args(exp, ckpt, mode="hard"), config2)
+    for k in result:
+        np.testing.assert_allclose(result2[k], result[k], rtol=3e-5, atol=1e-6)
+
 
 def test_testnet_kitti_dump(tmp_path):
     root = str(tmp_path / "kitti")
