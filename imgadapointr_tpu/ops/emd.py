@@ -26,6 +26,20 @@ Two top-2 implementations, auto-dispatched:
   formulation below is HBM-bound at ~6-7 passes over the (N, tile) value
   field per iteration (see ops/pallas/auction.py). Diff-form fp32
   distances. Opt-out: ``IMGADAPOINTR_DISABLE_PALLAS_EMD``.
+
+  The Pallas path additionally runs the iteration loop in TWO PHASES
+  (bit-identical to the single-phase scan — gated in
+  tests/test_emd_pallas.py): full-width while any sample has more than
+  ``p2_width`` unassigned bidders, then a static-width phase whose whole
+  per-iteration XLA chain (compaction, bid acceptance, eviction) touches
+  O(p2_width) rows via a carried active-row list + owner inverse map
+  (``_bid_update_active``). Safe because the unassigned count is monotone
+  non-increasing: each sale assigns exactly one bidder and evicts at most
+  one. Rationale: TPU gathers/scatters are row-rate bound and run at full
+  static shape, so the ~9 O(N)-row ops per iteration dominated the
+  converged auction (~104 of 140 ms/sample at the test protocol,
+  benchmarks/profile_emd.py); with the phase split + the kernel's 128-row
+  sub-block skipping the same protocol runs in ~26 ms/sample.
 - **XLA tiled scan** (CPU, small clouds): matmul-form distances at
   HIGHEST precision, top-2 via three linear reductions (``lax.top_k``
   lowers to a sort on TPU and dominated the auction iteration — 10x
@@ -154,6 +168,61 @@ def _bid_update_rows(price, assign, best, second, best_item, orig, valid, *,
     return price, assign
 
 
+def _bid_update_active(price, assign, owner, active, valid, best, second,
+                       best_item, *, eps: float, n: int):
+    """Phase-2 auction update over a CARRIED compacted active-row view.
+
+    ``active`` (W,) holds the original bidder ids of the live rows in its
+    first ``cnt`` slots (sentinel ``n`` after); ``owner`` (M,) is the
+    inverse of ``assign`` (owner[j] = bidder assigned to item j, sentinel
+    ``n``). Semantically identical to ``_bid_update_rows`` — every row
+    reduction (scatter-max of f32 bids, scatter-min of original bidder
+    rank) is order-invariant, so the carried row order (survivors first,
+    then this round's evictions) cannot change results; gated bit-exact
+    against the single-phase path in tests/test_emd_pallas.py. Everything
+    here is O(W) scatter/gather rows + O(M) elementwise — no O(N)-row op,
+    which is the point: TPU gathers/scatters are row-rate bound and the
+    XLA chain around the kernel dominated the auction at full static N
+    (benchmarks/profile_emd.py)."""
+    M = price.shape[0]
+    W = active.shape[0]
+    big = jnp.float32(1e9)
+    orig = active
+    bid = price[best_item] + (best - second) + eps
+
+    item_best_bid = jnp.full((M,), -big).at[best_item].max(
+        jnp.where(valid, bid, -big)
+    )
+    is_winner = valid & (bid >= item_best_bid[best_item])
+    winner_rank = jnp.where(is_winner, orig, n)
+    item_winner = jnp.full((M,), n, jnp.int32).at[best_item].min(winner_rank)
+    won = is_winner & (item_winner[best_item] == orig)
+
+    sold_item = jnp.where(won, best_item, M)  # sentinel M: dropped below
+    # evicted previous owner of each item that just sold (sentinel n: none)
+    prev_owner = jnp.where(won, owner[best_item], n)
+    owner = owner.at[sold_item].set(jnp.where(won, orig, n), mode="drop")
+    assign = assign.at[jnp.where(won, orig, n)].set(best_item, mode="drop")
+    assign = assign.at[prev_owner].set(-1, mode="drop")
+    sold = jnp.zeros((M + 1,), bool).at[sold_item].set(True)[:M]
+    price = jnp.where(sold, item_best_bid, price)
+
+    # next active rows: survivors (live, didn't win) then this round's
+    # evictions. The unassigned count is monotone non-increasing (each
+    # sale assigns exactly one bidder and evicts at most one), so once it
+    # fits in W slots it fits forever.
+    cand = jnp.concatenate([jnp.where(valid & ~won, orig, n), prev_owner])
+    live = cand < n
+    pos = (jnp.cumsum(live) - 1).astype(jnp.int32)
+    active = (
+        jnp.full((W,), n, jnp.int32)
+        .at[jnp.where(live, pos, 2 * W)]
+        .set(cand, mode="drop")
+    )
+    cnt = jnp.sum(live).astype(jnp.int32)
+    return price, assign, owner, active, cnt
+
+
 def _use_pallas_top2(x: jax.Array, y: jax.Array) -> bool:
     # one remote Mosaic compile per distinct shape: gate to the big-cloud
     # regime where the HBM saving dominates (the test protocol's 16384²)
@@ -171,9 +240,16 @@ def _use_pallas_top2(x: jax.Array, y: jax.Array) -> bool:
 
 def _auction_batch(x, y, eps: float, iterations: int,
                    use_pallas: bool, interpret: bool = False,
-                   tile: int = _TILE):
+                   tile: int = _TILE, p2_width: int = 1024):
     """Batched auction assignment: x (B, N, 3) bidders, y (B, M, 3) items
-    → (B, N) int32 assignment into y."""
+    → (B, N) int32 assignment into y.
+
+    Pallas path with N > ``p2_width`` runs in two phases: full-width
+    iterations while any sample still has > p2_width unassigned bidders,
+    then a static-width-``p2_width`` phase whose whole per-iteration XLA
+    chain (compaction, bid acceptance, eviction) touches O(p2_width) rows
+    via a carried active-row list (``_bid_update_active``). Bit-identical
+    to the single-phase scan; the phases only shrink the *view*."""
     B, N, _ = x.shape
     M = y.shape[1]
     x32 = x.astype(jnp.float32)
@@ -239,13 +315,90 @@ def _auction_batch(x, y, eps: float, iterations: int,
 
     price0 = jnp.zeros((B, M), jnp.float32)
     assign0 = jnp.full((B, N), -1, jnp.int32)
-    (price, assign), _ = jax.lax.scan(
-        step, (price0, assign0), None, length=iterations
-    )
+
+    if use_pallas and N > p2_width:
+        from .pallas.auction import auction_top2_pallas
+
+        W2 = p2_width
+        slot = jnp.arange(W2, dtype=jnp.int32)
+
+        def p1_cond(c):
+            _, assign, it = c
+            return (it < iterations) & (
+                jnp.max(jnp.sum(assign < 0, axis=1)) > W2
+            )
+
+        def p1_body(c):
+            price, assign, it = c
+            (price, assign), _ = step((price, assign), None)
+            return jax.lax.optimization_barrier(
+                (price, assign, it + jnp.int32(1))
+            )
+
+        price, assign, it = jax.lax.while_loop(
+            p1_cond, p1_body, (price0, assign0, jnp.int32(0))
+        )
+
+        # phase transition: build the compacted active list (original
+        # bidder ids of the unassigned rows, front-packed) and the owner
+        # inverse of assign — the ONLY O(N)-row work phase 2 ever pays.
+        # If phase 1 exhausted the budget with > W2 unassigned, phase 2's
+        # cond is False and these are dead values.
+        mask = assign < 0
+        cnt = jnp.sum(mask, axis=1).astype(jnp.int32)
+        pos = (jnp.cumsum(mask, axis=1) - 1).astype(jnp.int32)
+        active = jax.vmap(
+            lambda m, p: jnp.full((W2,), N, jnp.int32)
+            .at[jnp.where(m, p, W2)]
+            .set(idxs, mode="drop")
+        )(mask, pos)
+        owner = jax.vmap(
+            lambda a: jnp.full((M,), N, jnp.int32)
+            .at[jnp.where(a >= 0, a, M)]
+            .set(idxs, mode="drop")
+        )(assign)
+
+        def p2_cond(c):
+            _, _, _, _, cnt, it = c
+            return (it < iterations) & (jnp.max(cnt) > 0)
+
+        def p2_body(c):
+            price, assign, owner, active, cnt, it = c
+            xg = jnp.take_along_axis(
+                x32, jnp.minimum(active, N - 1)[..., None], axis=1
+            )
+            # sub-block skipping inside the kernel makes the sweep cost
+            # ceil(cnt/128)·128 rows × M — at the observed late-auction
+            # counts (~60) that is 8× less VPU work than a full W2 block
+            best, second, best_item = auction_top2_pallas(
+                xg, y32, price, cnt=cnt, interpret=interpret
+            )
+            valid = slot[None, :] < cnt[:, None]
+            price, assign, owner, active, cnt = jax.vmap(
+                functools.partial(_bid_update_active, eps=eps, n=N)
+            )(price, assign, owner, active, valid, best, second, best_item)
+            return jax.lax.optimization_barrier(
+                (price, assign, owner, active, cnt, it + jnp.int32(1))
+            )
+
+        price, assign, _, _, _, _ = jax.lax.while_loop(
+            p2_cond, p2_body, (price, assign, owner, active, cnt, it)
+        )
+    else:
+        (price, assign), _ = jax.lax.scan(
+            step, (price0, assign0), None, length=iterations
+        )
     # greedy fallback for bidders still unassigned when iterations ran out:
-    # nearest item = top-2 at zero price
-    _, _, nearest = top2(jnp.zeros((B, M), jnp.float32))
-    assign = jnp.where(assign < 0, nearest, assign)
+    # nearest item = top-2 at zero price. Skipped entirely (lax.cond) when
+    # the auction fully converged — the full-width top-2 pass is ~4 ms at
+    # the 16384² protocol shape and pure waste then.
+    def _greedy(a):
+        _, _, nearest = top2(jnp.zeros((B, M), jnp.float32))
+        return jnp.where(a < 0, nearest, a)
+
+    assign = jax.lax.cond(
+        jnp.any(assign < 0), _greedy, lambda a: a, assign
+    )
     return jnp.minimum(assign, M - 1)
 
 

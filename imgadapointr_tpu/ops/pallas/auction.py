@@ -48,60 +48,71 @@ _IBIG = 0x7FFFFFFF
 
 
 def _top2_kernel(
-    x_ref, y_ref, price_ref, cnt_ref, best_ref, second_ref, besti_ref, tm: int
+    x_ref, y_ref, price_ref, cnt_ref, best_ref, second_ref, besti_ref,
+    tm: int, sub: int,
 ):
     # x_ref: (TN, 8) bidder coords (cols 0:3); y_ref: (8, Mp) item coords;
     # price_ref: (1, Mp); cnt_ref: (B, 1) SMEM active-bidder counts (full
     # array — Mosaic requires SMEM blocks to equal the array dims unless
     # (8, 128)-divisible, so per-sample blocking is not expressible);
-    # outputs (TN//128, 128) flat row-major == (TN,)
+    # outputs (TN//128, 128) flat row-major == (TN,).
+    #
+    # The TN-row block is processed as TN/sub statically-unrolled SUB-BLOCKS,
+    # each gated by its own pl.when — skip granularity is ``sub`` rows, not
+    # the whole block (Mosaic's output-block divisibility rule forbids
+    # TN < 1024 grids with (rows, 128) blocks, so fine-grained skipping must
+    # live INSIDE the kernel). With the auction's geometrically-collapsing
+    # active count the sweep cost becomes ceil(cnt/sub)·sub rows × Mp.
     tn = x_ref.shape[0]
     Mp = y_ref.shape[1]
     m_chunks = Mp // tm
     b = pl.program_id(0)
     n = pl.program_id(1)
+    col_local = jax.lax.broadcasted_iota(jnp.int32, (sub, tm), 1)
 
-    @pl.when(n * tn < cnt_ref[b, 0])
-    def _():
-        xx = x_ref[:, 0:1]
-        xy = x_ref[:, 1:2]
-        xz = x_ref[:, 2:3]
-        col_local = jax.lax.broadcasted_iota(jnp.int32, (tn, tm), 1)
+    for s in range(tn // sub):
+        @pl.when(n * tn + s * sub < cnt_ref[b, 0])
+        def _(s=s):
+            xx = x_ref[s * sub:(s + 1) * sub, 0:1]
+            xy = x_ref[s * sub:(s + 1) * sub, 1:2]
+            xz = x_ref[s * sub:(s + 1) * sub, 2:3]
 
-        def chunk(ci, carry):
-            best, second, best_i = carry
-            ms = pl.ds(pl.multiple_of(ci * tm, tm), tm)
-            dx = xx - y_ref[0:1, ms]
-            dy = xy - y_ref[1:2, ms]
-            dz = xz - y_ref[2:3, ms]
-            v = -(dx * dx + dy * dy + dz * dz) - price_ref[0:1, ms]  # (tn, tm)
-            c1 = jnp.max(v, axis=1, keepdims=True)
-            # first-index argmax (jnp.argmax semantics, like the XLA path)
-            c1i_local = jnp.min(
-                jnp.where(v == c1, col_local, jnp.int32(_IBIG)),
-                axis=1, keepdims=True,
-            )
-            c2 = jnp.max(
-                jnp.where(col_local == c1i_local, -_BIG, v), axis=1, keepdims=True
-            )
-            c1i = c1i_local + ci * tm
-            upd = c1 > best
-            second = jnp.where(
-                upd, jnp.maximum(best, c2), jnp.maximum(second, c1)
-            )
-            best = jnp.where(upd, c1, best)
-            best_i = jnp.where(upd, c1i, best_i)
-            return best, second, best_i
+            def chunk(ci, carry):
+                best, second, best_i = carry
+                ms = pl.ds(pl.multiple_of(ci * tm, tm), tm)
+                dx = xx - y_ref[0:1, ms]
+                dy = xy - y_ref[1:2, ms]
+                dz = xz - y_ref[2:3, ms]
+                v = -(dx * dx + dy * dy + dz * dz) - price_ref[0:1, ms]  # (sub, tm)
+                c1 = jnp.max(v, axis=1, keepdims=True)
+                # first-index argmax (jnp.argmax semantics, like the XLA path)
+                c1i_local = jnp.min(
+                    jnp.where(v == c1, col_local, jnp.int32(_IBIG)),
+                    axis=1, keepdims=True,
+                )
+                c2 = jnp.max(
+                    jnp.where(col_local == c1i_local, -_BIG, v),
+                    axis=1, keepdims=True,
+                )
+                c1i = c1i_local + ci * tm
+                upd = c1 > best
+                second = jnp.where(
+                    upd, jnp.maximum(best, c2), jnp.maximum(second, c1)
+                )
+                best = jnp.where(upd, c1, best)
+                best_i = jnp.where(upd, c1i, best_i)
+                return best, second, best_i
 
-        init = (
-            jnp.full((tn, 1), -_BIG),
-            jnp.full((tn, 1), -_BIG),
-            jnp.zeros((tn, 1), jnp.int32),
-        )
-        best, second, best_i = jax.lax.fori_loop(0, m_chunks, chunk, init)
-        best_ref[...] = best.reshape(tn // 128, 128)
-        second_ref[...] = second.reshape(tn // 128, 128)
-        besti_ref[...] = best_i.reshape(tn // 128, 128)
+            init = (
+                jnp.full((sub, 1), -_BIG),
+                jnp.full((sub, 1), -_BIG),
+                jnp.zeros((sub, 1), jnp.int32),
+            )
+            best, second, best_i = jax.lax.fori_loop(0, m_chunks, chunk, init)
+            r0, r1 = s * sub // 128, (s + 1) * sub // 128
+            best_ref[r0:r1, :] = best.reshape(sub // 128, 128)
+            second_ref[r0:r1, :] = second.reshape(sub // 128, 128)
+            besti_ref[r0:r1, :] = best_i.reshape(sub // 128, 128)
 
 
 def auction_top2_pallas(
@@ -111,6 +122,7 @@ def auction_top2_pallas(
     cnt: jax.Array | None = None,
     tile_n: int = 1024,
     tile_m: int = 512,
+    sub_n: int = 128,
     interpret: bool = False,
 ):
     """Batched fused auction top-2: (best, second, best_item) per bidder.
@@ -122,7 +134,7 @@ def auction_top2_pallas(
     same padding as ``ops.emd._pad_items``.
 
     ``cnt`` (B,) int32: number of leading bidder rows that are active.
-    Grid programs whose whole bidder block lies at or beyond ``cnt`` skip
+    ``sub_n``-row sub-blocks that lie entirely at or beyond ``cnt`` skip
     the item sweep; their output rows are STALE GARBAGE and must be masked
     by the caller. ``None`` means all rows are active.
     """
@@ -144,9 +156,10 @@ def auction_top2_pallas(
         cnt = jnp.full((B,), N, jnp.int32)
     cnt2 = cnt.astype(jnp.int32).reshape(B, 1)
 
+    sub = min(sub_n, TN)
     rows = TN // 128
     best, second, best_i = pl.pallas_call(
-        functools.partial(_top2_kernel, tm=TM),
+        functools.partial(_top2_kernel, tm=TM, sub=sub),
         grid=(B, Npad // TN),
         in_specs=[
             pl.BlockSpec((None, TN, 8), lambda b, n: (b, n, 0), memory_space=pltpu.VMEM),
