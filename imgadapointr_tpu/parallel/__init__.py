@@ -7,3 +7,10 @@ from .mesh import (
     replicated,
     shard_batch,
 )
+from .pipeline import (
+    PIPE_AXIS,
+    encoder_pipeline_apply,
+    make_pipe_mesh,
+    pipeline_apply,
+    stack_stage_params,
+)
