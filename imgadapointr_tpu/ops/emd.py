@@ -65,16 +65,6 @@ import jax.numpy as jnp
 _TILE = 2048  # items per inner scan step (XLA path); peak temp = N * _TILE
 
 
-def _pad_items(y: jax.Array, tile: int):
-    """Pad the item cloud to a tile multiple with a far sentinel: padded
-    items have hugely negative value and can never win a bid."""
-    m = y.shape[0]
-    pad = (-m) % tile
-    if pad:
-        y = jnp.pad(y, ((0, pad), (0, 0)), constant_values=1e6)
-    return y, m
-
-
 def _tiled_top2(x32, xsq, y_tiles, ysq_tiles, bases, price_tiles):
     """Per bidder: (best_value, second_value, best_item) of
     value_ij = -|x_i - y_j|^2 - price_j, scanning items in tiles."""

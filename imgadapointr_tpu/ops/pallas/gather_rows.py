@@ -148,6 +148,10 @@ def _fwd_impl_hilo(table: jax.Array, idx: jax.Array, interpret: bool = False):
 
 
 def _fwd_impl(table: jax.Array, idx: jax.Array, interpret: bool = False):
+    # XLA gather CLAMPS out-of-range indices into [0, M-1]; the kernels would
+    # instead return zero rows (no chunk probe / one-hot matches). Clamp here
+    # so sentinel-index callers see identical behaviour on every backend.
+    idx = jnp.clip(idx, 0, table.shape[1] - 1)
     if table.shape[1] > MAX_M:  # big-table regime → two-level hi/lo kernel
         return _fwd_impl_hilo(table, idx, interpret)
     B, M, C = table.shape
@@ -197,7 +201,9 @@ def _gr_bwd(interpret, res, g):
     import numpy as np
 
     idx, table = res
-    # the exact scatter-add XLA's take_along_axis VJP emits
+    # the exact scatter-add XLA's take_along_axis VJP emits (clamped like
+    # the forward gather, so OOB cotangents land on the clamped row too)
+    idx = jnp.clip(idx, 0, table.shape[1] - 1)
     dtable = jax.vmap(lambda d, i, gg: d.at[i].add(gg))(
         jnp.zeros_like(table, dtype=g.dtype), idx, g
     )

@@ -113,7 +113,14 @@ def knn_with_distance(
         # swaps) measured ~0.5 CD-L1 worse at epoch 20 on the synthetic
         # convergence A/B (benchmarks/RESULTS.md "Negative results")
         return knn_pallas(nsample, xyz, new_xyz)
-    sqrdists = square_distance(new_xyz, xyz)
+    if diff_form:
+        # cancellation-free elementwise distances — same form as the Pallas
+        # peeling kernel, so selection is identical on either side of the
+        # dispatch gate (ops/sharded.py relies on this at every block size)
+        diff = new_xyz[:, :, None, :] - xyz[:, None, :, :]
+        sqrdists = jnp.sum(diff * diff, axis=-1)
+    else:
+        sqrdists = square_distance(new_xyz, xyz)
     neg, idx = jax.lax.top_k(-sqrdists, nsample)
     return -neg, idx.astype(jnp.int32)
 
@@ -297,8 +304,10 @@ def _fused_interp_bwd(eps, res, g):
 _three_nn_interpolate_fused.defvjp(_fused_interp_fwd, _fused_interp_bwd)
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def furthest_point_sample(xyz: jax.Array, npoint: int) -> jax.Array:
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def furthest_point_sample(
+    xyz: jax.Array, npoint: int, diff_form: bool = False
+) -> jax.Array:
     """Farthest point sampling — indices of ``npoint`` spread-out points.
 
     Iterative argmax over a running min-distance cache, seeded at index 0,
@@ -308,6 +317,11 @@ def furthest_point_sample(xyz: jax.Array, npoint: int) -> jax.Array:
     On TPU dispatches to the Pallas kernel (VMEM-resident cache, ~3× faster);
     the XLA fori_loop below is the reference implementation and the
     CPU/interpret path.
+
+    ``diff_form=True`` makes the XLA fallback compute cancellation-free
+    elementwise ``Σ(x−p)²`` distances (the Pallas FPS kernel's arithmetic)
+    instead of the matmul form — the block-size-independent reference that
+    ``ops/sharded.py``'s sharded FPS is equality-tested against.
 
     Args:
         xyz: (B, N, 3).
@@ -332,16 +346,20 @@ def furthest_point_sample(xyz: jax.Array, npoint: int) -> jax.Array:
     def body(i, state):
         mindist, idxs, last = state
         lastp = jnp.take_along_axis(xyz, last[:, None, None], axis=1)  # B 1 3
-        last_sq = jnp.take_along_axis(xsq, last[:, None], axis=1)  # B 1
-        # |x - p|^2 = |x|^2 - 2 x·p + |p|^2  (one small matvec, VPU-friendly)
-        d = (
-            xsq
-            - 2.0
-            * jnp.einsum(
-                "bnc,bmc->bn", xyz, lastp, precision=jax.lax.Precision.HIGHEST
+        if diff_form:
+            d = jnp.sum((xyz - lastp) ** 2, axis=-1)
+        else:
+            last_sq = jnp.take_along_axis(xsq, last[:, None], axis=1)  # B 1
+            # |x - p|^2 = |x|^2 - 2 x·p + |p|^2 (one small matvec, VPU-friendly)
+            d = (
+                xsq
+                - 2.0
+                * jnp.einsum(
+                    "bnc,bmc->bn", xyz, lastp,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                + last_sq
             )
-            + last_sq
-        )
         mindist = jnp.minimum(mindist, d)
         nxt = jnp.argmax(mindist, axis=-1).astype(jnp.int32)
         idxs = jax.lax.dynamic_update_index_in_dim(idxs, nxt, i, axis=1)

@@ -52,7 +52,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
-from .chamfer import _nn_one_direction, _masked_mean
+from .chamfer import _nn_one_direction
 
 POINTS_AXIS = "points"
 

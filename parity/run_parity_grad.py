@@ -53,7 +53,11 @@ from parity.run_parity import (  # noqa: E402
 # non-differentiable pointnet2 three_nn — see CLAUDE.md parity invariants).
 # Under the reference's DDP(find_unused_parameters=True) these get grad=None
 # → torch.optim skips them entirely (no decay, no moment update).
-ZERO_GRAD_MARKERS = ("query_ranking", "linear_offset", "proj_v_off")
+# Single source of truth: the production optimizer's marker tuple, so the
+# parity gate and builder.py can never disagree about the excluded subtrees.
+from imgadapointr_tpu.tools.builder import (  # noqa: E402
+    ZERO_GRAD_PARAM_MARKERS as ZERO_GRAD_MARKERS,
+)
 
 
 def torch_grads_numpy(ref):

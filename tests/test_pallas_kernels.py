@@ -247,3 +247,37 @@ def test_scatter_gate_is_cpu_off():
     assert jax.default_backend() != "tpu"
     out = _scatter_add_rows(16384, idx, vals)
     assert float(out[0, 0, 0]) == 16384.0  # all rows land on index 0
+
+
+@pytest.mark.parametrize("M", [300, 8192])  # probe regime + hi/lo regime
+def test_gather_rows_oob_clamps_like_xla(M):
+    """Out-of-range indices CLAMP into [0, M-1] (XLA gather semantics) in
+    both kernel regimes — not zero rows — and the backward scatter lands
+    the OOB cotangent on the clamped row, matching take_along_axis's VJP."""
+    from imgadapointr_tpu.ops.pallas.gather_rows import gather_rows_pallas
+
+    rng = np.random.RandomState(7)
+    table = jnp.asarray(rng.randn(2, M, 3), jnp.float32)
+    idx = jnp.asarray(
+        np.stack(
+            [
+                np.array([-5, 0, M - 1, M, M + 100] + [1] * 123),
+                rng.randint(-M, 2 * M, 128),
+            ]
+        ),
+        jnp.int32,
+    )
+    ct = jnp.asarray(rng.randn(2, 128, 3), jnp.float32)
+
+    def xla(t):
+        return jnp.take_along_axis(
+            t, jnp.clip(idx, 0, M - 1)[..., None], axis=1
+        )
+
+    with pltpu.force_tpu_interpret_mode():
+        out, vjp = jax.vjp(lambda t: gather_rows_pallas(t, idx), table)
+        (dt,) = vjp(ct)
+    want, vjp_x = jax.vjp(xla, table)
+    (dt_x,) = vjp_x(ct)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
+    np.testing.assert_array_equal(np.asarray(dt), np.asarray(dt_x))

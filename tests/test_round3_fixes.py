@@ -422,3 +422,24 @@ def test_dynamic_graph_attention_commuted_equivalence():
             np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-6,
             err_msg=str(kwargs),
         )
+
+
+def test_knn_diff_form_fallback_is_elementwise():
+    """knn_with_distance(diff_form=True) must rank by cancellation-free
+    elementwise Σ(q−x)² on the XLA fallback — near-duplicate points whose
+    matmul-form distance goes (slightly) negative still rank first, so
+    ops/sharded.py's per-block selection matches the Pallas diff-form
+    kernels at every block size (sharded==unsharded contract on TPU)."""
+    from imgadapointr_tpu.ops.pointops import knn_with_distance
+
+    rng = np.random.RandomState(11)
+    # large-norm cloud: matmul form |q|²+|x|²−2q·x loses ~2^-25·norm² bits
+    base = jnp.asarray(rng.randn(2, 64, 3) * 100.0, jnp.float32)
+    q = base + 1e-5  # near-duplicates of every point
+    d, i = knn_with_distance(4, base, q, diff_form=True)
+    diff = q[:, :, None, :] - base[:, None, :, :]
+    want = jnp.sum(diff * diff, axis=-1)
+    wd, wi = jax.lax.top_k(-want, 4)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(wi))
+    np.testing.assert_array_equal(np.asarray(d), np.asarray(-wd))
+    assert float(d.min()) >= 0.0  # diff form can never go negative

@@ -12,8 +12,12 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from imgadapointr_tpu.ops.chamfer import chamfer_l1, chamfer_l2, nn_distance
-from imgadapointr_tpu.ops.pointops import furthest_point_sample, knn_point
+from imgadapointr_tpu.ops.chamfer import (
+    _nn_one_direction,
+    chamfer_l1,
+    chamfer_l2,
+)
+from imgadapointr_tpu.ops.pointops import furthest_point_sample, knn_with_distance
 from imgadapointr_tpu.ops.sharded import (
     make_points_mesh,
     sharded_chamfer_l1,
@@ -36,10 +40,19 @@ def _clouds(key, b=2, n=1024, m=2048):
     return x, y
 
 
+def _nn_distance_diff_form(x, y):
+    """Diff-form bidirectional NN reference — the selection arithmetic the
+    unsharded op uses on TPU (Pallas kernels); index equality against the
+    CPU matmul-form scan would be tie-fragile (see ops/sharded.py)."""
+    d1, i1 = _nn_one_direction(x, y, None, 2048, diff_form=True)
+    d2, i2 = _nn_one_direction(y, x, None, 2048, diff_form=True)
+    return d1, d2, i1, i2
+
+
 def test_nn_distance_matches_unsharded(mesh):
     x, y = _clouds(0)
     d1, d2, i1, i2 = sharded_nn_distance(x, y, mesh)
-    rd1, rd2, ri1, ri2 = nn_distance(x, y)
+    rd1, rd2, ri1, ri2 = _nn_distance_diff_form(x, y)
     assert np.array_equal(np.asarray(i1), np.asarray(ri1))
     assert np.array_equal(np.asarray(i2), np.asarray(ri2))
     np.testing.assert_allclose(np.asarray(d1), np.asarray(rd1), rtol=2e-6)
@@ -50,7 +63,7 @@ def test_nn_distance_asymmetric_shapes(mesh):
     # N != M, non-tile-multiple blocks (1536/8 = 192, 2560/8 = 320)
     x, y = _clouds(1, b=1, n=1536, m=2560)
     _, _, i1, i2 = sharded_nn_distance(x, y, mesh)
-    _, _, ri1, ri2 = nn_distance(x, y)
+    _, _, ri1, ri2 = _nn_distance_diff_form(x, y)
     assert np.array_equal(np.asarray(i1), np.asarray(ri1))
     assert np.array_equal(np.asarray(i2), np.asarray(ri2))
 
@@ -107,9 +120,12 @@ def test_chamfer_l2_grads_match(mesh):
 
 def test_knn_matches_unsharded(mesh):
     x, y = _clouds(6, b=2, n=1024, m=2048)
-    # queries = x rows, reference set = y
+    # queries = x rows, reference set = y. Reference ranking is DIFF-FORM —
+    # what the unsharded op computes on TPU (Pallas peeling kernel) and in
+    # its diff_form fallback; the CPU matmul-form top_k regime is the one
+    # documented near-tie exception (ops/sharded.py docstring).
     idx_s = sharded_knn(8, y, x, mesh)
-    idx_r = knn_point(8, y, x)
+    idx_r = knn_with_distance(8, y, x, diff_form=True)[1]
     assert np.array_equal(np.asarray(idx_s), np.asarray(idx_r))
 
 
@@ -121,8 +137,10 @@ def test_knn_k_exceeding_block_asserts(mesh):
 
 def test_fps_matches_unsharded(mesh):
     x, _ = _clouds(8, b=2, n=1024)
+    # diff-form reference = the Pallas FPS kernel's arithmetic (what the
+    # unsharded op computes on TPU); see test_knn_matches_unsharded
     idx_s = sharded_fps(x, 128, mesh)
-    idx_r = furthest_point_sample(x, 128)
+    idx_r = furthest_point_sample(x, 128, diff_form=True)
     assert np.array_equal(np.asarray(idx_s), np.asarray(idx_r))
 
 
