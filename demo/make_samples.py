@@ -56,8 +56,9 @@ def render_view(path: str, pts: np.ndarray) -> None:
     plt.close(fig)
 
 
-def make_sample(class_id: str, seed: int, n_partial: int = 2048):
-    """(partial, full) clouds for one demo class, deterministic per class."""
+def make_sample(seed: int, n_partial: int = 2048):
+    """(partial, full) clouds for one demo sample; per-class variation
+    comes entirely from the seed (generate() uses 7000 + class index)."""
     rng = np.random.default_rng(seed)
     full = _surface_points(rng, 8192)
     normal = rng.normal(size=3)
@@ -74,7 +75,7 @@ def generate(out_dir: str) -> list[str]:
     for i, class_id in enumerate(SAMPLE_CLASSES):
         d = os.path.join(out_dir, class_id)
         os.makedirs(d, exist_ok=True)
-        partial, full = make_sample(class_id, seed=7000 + i)
+        partial, full = make_sample(seed=7000 + i)
         write_pcd(os.path.join(d, "00.pcd"), partial)
         render_view(os.path.join(d, "00.png"), full)
         written.append(d)

@@ -181,5 +181,7 @@ def auction_top2_pallas(
     )(xp, yt, pp, cnt2)
     best = best.reshape(B, Npad)[:, :N]
     second = second.reshape(B, Npad)[:, :N]
-    best_i = jnp.minimum(jnp.abs(best_i.reshape(B, Npad)[:, :N]), M - 1)
+    # clip, not abs+min: abs(INT32_MIN) == INT32_MIN, so a garbage word in a
+    # skipped sub-block could otherwise escape the [0, M) contract negative
+    best_i = jnp.clip(best_i.reshape(B, Npad)[:, :N], 0, M - 1)
     return best, second, best_i

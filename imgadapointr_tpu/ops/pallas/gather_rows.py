@@ -153,6 +153,11 @@ def _fwd_impl(table: jax.Array, idx: jax.Array, interpret: bool = False):
     # so sentinel-index callers see identical behaviour on every backend.
     idx = jnp.clip(idx, 0, table.shape[1] - 1)
     if table.shape[1] > MAX_M:  # big-table regime → two-level hi/lo kernel
+        if table.shape[1] > MAX_M_HILO or table.shape[2] > MAX_C_HILO:
+            # beyond every kernel regime (direct gather_rows_pallas callers
+            # can pass shapes pointops' gate never routes here): plain XLA
+            # gather — same semantics, no Mosaic VMEM blow-up on huge tiles
+            return jnp.take_along_axis(table, idx[..., None], axis=1)
         return _fwd_impl_hilo(table, idx, interpret)
     B, M, C = table.shape
     S = idx.shape[1]

@@ -537,6 +537,24 @@ def export_adapointr_torch(params, batch_stats, config) -> Dict[str, np.ndarray]
     return sd
 
 
+def converter_for(name: str) -> Callable[..., dict]:
+    """Model NAME → weight converter. Single source of truth for the
+    name→converter mapping, shared by ``load_torch_checkpoint_into_state``
+    (main.py --test / demo) and the parity harnesses
+    (parity/run_parity{,_grad}.py) — they previously carried divergent
+    copies and the serving path silently dropped the image branch of
+    ImgEncSegDec checkpoints (with_img defaulted False)."""
+    import functools
+
+    if "Img" in name and "Seg" in name:  # ImgEncSegDecAdaPoinTrVariableLoss
+        return functools.partial(convert_seg_adapointr, with_img=True)
+    if "Seg" in name:  # SegEncAdaPoinTr
+        return convert_seg_adapointr
+    if "Img" in name:  # ImgResNetEncAdaPoinTrVariableLoss
+        return convert_img_adapointr
+    return convert_adapointr
+
+
 def load_torch_state(path: str) -> Dict[str, np.ndarray]:
     """Load a torch checkpoint file into numpy arrays (CPU torch)."""
     import torch
@@ -567,14 +585,7 @@ def load_torch_checkpoint_into_state(state, path: str, model_cfg) -> dict:
     reference user can point either straight at their pretrained/*.pth.
     """
     sd = load_torch_state(path)
-    name = model_cfg.NAME
-    if name in ("ImgResNetEncAdaPoinTrVariableLoss",):
-        convert = convert_img_adapointr
-    elif "Seg" in name:
-        convert = convert_seg_adapointr
-    else:
-        convert = convert_adapointr
-    res = convert(sd, model_cfg)
+    res = converter_for(model_cfg.NAME)(sd, model_cfg)
     if res.get("missing"):
         raise ValueError(
             f"torch checkpoint {path}: unconverted keys {res['missing'][:8]}"

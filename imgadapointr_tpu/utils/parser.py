@@ -1,13 +1,14 @@
 """CLI arg parsing (reference utils/parser.py:5-108, same public flags).
 
-Removed: --launcher/--local_rank/--sync_bn (process topology is handled by
-jax.distributed + the mesh; cross-device batch stats fall out of the sharded
-batch axis); --deterministic (the reference's cudnn-determinism toggle has
-no analog here — determinism IS the default: seeded PRNG streams,
-deterministic XLA scatters everywhere the reference raced atomicAdd, and an
-order-preserving loader with per-sample seeded rng). Added: --tp
-(tensor-parallel width) and --synthetic (run on the procedurally generated
-dataset when PCN data is absent).
+Inert compat flags (accepted so reference-style command lines run
+unchanged, with a notice): --launcher/--local_rank/--sync_bn (process
+topology is handled by jax.distributed + the mesh; cross-device batch stats
+fall out of the sharded batch axis) and --deterministic (the reference's
+cudnn-determinism toggle has no analog here — determinism IS the default:
+seeded PRNG streams, deterministic XLA scatters everywhere the reference
+raced atomicAdd, and an order-preserving loader with per-sample seeded
+rng). Added: --tp (tensor-parallel width) and --synthetic (run on the
+procedurally generated dataset when PCN data is absent).
 """
 
 from __future__ import annotations
@@ -44,7 +45,23 @@ def get_args(argv=None):
     parser.add_argument("--no_emd", dest="emd", action="store_false", default=True)
     parser.add_argument("--profile", action="store_true",
                         help="write a jax.profiler trace of a few train steps")
+    # inert reference-CLI compat flags (see module docstring): accepted so a
+    # command line copied from the reference workflow runs unchanged
+    parser.add_argument("--deterministic", action="store_true",
+                        help="no-op: execution is already deterministic")
+    parser.add_argument("--sync_bn", action="store_true",
+                        help="no-op: batch stats sync over the mesh's data axis")
+    parser.add_argument("--launcher", choices=["none", "pytorch"], default="none",
+                        help="no-op: topology comes from jax.distributed")
+    parser.add_argument("--local_rank", type=int, default=0,
+                        help="no-op: topology comes from jax.distributed")
     args = parser.parse_args(argv)
+    for flag, hit in (("--deterministic", args.deterministic),
+                      ("--sync_bn", args.sync_bn),
+                      ("--launcher", args.launcher != "none")):
+        if hit:
+            print(f"[parser] {flag} accepted for reference-CLI compatibility; "
+                  "it has no effect here (see utils/parser.py docstring)")
 
     if args.test and args.resume:
         raise ValueError("--test and --resume cannot be both activated")

@@ -63,6 +63,14 @@ def unflatten(flat):
     return tree
 
 
+# parity CLI --model kind → registry NAME, for convert_torch.converter_for
+KIND_TO_NAME = {
+    "img": "ImgResNetEncAdaPoinTrVariableLoss",
+    "seg": "SegEncAdaPoinTr",
+    "imgsegdec": "ImgEncSegDecAdaPoinTrVariableLoss",
+}
+
+
 def build_reference_model(model_cfg, double, kind="adapointr"):
     """Instantiate the reference torch model with stubbed CUDA ops."""
     install_stubs()
@@ -117,21 +125,10 @@ def convert_and_merge(sd, model_cfg, examples, double, kind="adapointr"):
     import jax.numpy as jnp
 
     from imgadapointr_tpu.models.build import build_model_spec
-    from imgadapointr_tpu.tools.convert_torch import (
-        convert_adapointr,
-        convert_img_adapointr,
-    )
+    # single source of truth with the serving path (main.py --test / demo)
+    from imgadapointr_tpu.tools.convert_torch import converter_for
 
-    import functools
-
-    from imgadapointr_tpu.tools.convert_torch import convert_seg_adapointr
-
-    convert = {
-        "img": convert_img_adapointr,
-        "seg": convert_seg_adapointr,
-        "imgsegdec": functools.partial(convert_seg_adapointr, with_img=True),
-    }.get(kind, convert_adapointr)
-    res = convert(sd, model_cfg)
+    res = converter_for(KIND_TO_NAME.get(kind, "AdaPoinTr"))(sd, model_cfg)
     assert not res["missing"], f"torch keys not found: {res['missing'][:10]}"
 
     spec = build_model_spec(model_cfg)

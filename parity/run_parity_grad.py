@@ -444,20 +444,11 @@ def main():
 def _convert_tree(sd_like, model_cfg, kind):
     """Run a state_dict-shaped mapping through the weight converter,
     returning (params tree, batch_stats tree) in flax layout."""
-    import functools
+    # single source of truth with the serving path (main.py --test / demo)
+    from imgadapointr_tpu.tools.convert_torch import converter_for
+    from parity.run_parity import KIND_TO_NAME
 
-    from imgadapointr_tpu.tools.convert_torch import (
-        convert_adapointr,
-        convert_img_adapointr,
-        convert_seg_adapointr,
-    )
-
-    convert = {
-        "img": convert_img_adapointr,
-        "seg": convert_seg_adapointr,
-        "imgsegdec": functools.partial(convert_seg_adapointr, with_img=True),
-    }.get(kind, convert_adapointr)
-    res = convert(sd_like, model_cfg)
+    res = converter_for(KIND_TO_NAME.get(kind, "AdaPoinTr"))(sd_like, model_cfg)
     return res["params"], res["batch_stats"]
 
 

@@ -128,7 +128,7 @@ def test_pcreconstructor_loads_reference_pth(tmp_path):
     pcd = str(tmp_path / "in.pcd")
     from demo.make_samples import make_sample, write_pcd
 
-    partial, _ = make_sample("x", seed=1)
+    partial, _ = make_sample(seed=1)
     write_pcd(pcd, partial)
     fine = np.asarray(rec.predict(pcd))
     assert fine.ndim == 2 and fine.shape[1] == 3 and np.isfinite(fine).all()

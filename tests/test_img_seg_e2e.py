@@ -18,16 +18,11 @@ from imgadapointr_tpu.utils.config import AttrDict
 
 
 def _write_pcd(path, pts):
+    # one binary-PCD writer for the whole repo (demo gallery + fixtures)
+    from demo.make_samples import write_pcd
+
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    with open(path, "wb") as f:
-        f.write(
-            (
-                "VERSION 0.7\nFIELDS x y z\nSIZE 4 4 4\nTYPE F F F\n"
-                f"COUNT 1 1 1\nWIDTH {len(pts)}\nHEIGHT 1\n"
-                f"POINTS {len(pts)}\nDATA binary\n"
-            ).encode()
-        )
-        f.write(np.ascontiguousarray(pts, "<f4").tobytes())
+    write_pcd(path, np.asarray(pts, np.float32))
 
 
 def _write_png(path, rng):

@@ -443,3 +443,74 @@ def test_knn_diff_form_fallback_is_elementwise():
     np.testing.assert_array_equal(np.asarray(i), np.asarray(wi))
     np.testing.assert_array_equal(np.asarray(d), np.asarray(-wd))
     assert float(d.min()) >= 0.0  # diff form can never go negative
+
+
+def test_converter_for_single_source_dispatch():
+    """The serving path (main.py --test / demo .pth loading) used to carry
+    its own name->converter mapping and silently dropped the image branch of
+    ImgEncSegDec checkpoints (with_img defaulted False while the parity
+    harnesses passed True). converter_for is now the single source of truth;
+    pin its dispatch for every registered NAME."""
+    import functools
+
+    from imgadapointr_tpu.tools.convert_torch import (
+        convert_adapointr,
+        convert_img_adapointr,
+        convert_seg_adapointr,
+        converter_for,
+    )
+
+    c = converter_for("ImgEncSegDecAdaPoinTrVariableLoss")
+    assert isinstance(c, functools.partial)
+    assert c.func is convert_seg_adapointr
+    assert c.keywords == {"with_img": True}  # the dropped-image-branch bug
+    assert converter_for("SegEncAdaPoinTr") is convert_seg_adapointr
+    assert converter_for("ImgResNetEncAdaPoinTrVariableLoss") is convert_img_adapointr
+    for name in ("AdaPoinTr", "AdaPoinTrVariableLoss", "PCN", "FoldingNet"):
+        assert converter_for(name) is convert_adapointr
+
+    # and the parity harnesses route through the same function
+    import parity.run_parity as rp
+
+    assert rp.KIND_TO_NAME["imgsegdec"] == "ImgEncSegDecAdaPoinTrVariableLoss"
+
+
+def test_gather_rows_beyond_kernel_regimes_falls_back_to_xla():
+    """Direct gather_rows_pallas calls with shapes beyond BOTH kernel
+    regimes (M > MAX_M_HILO or C > MAX_C_HILO at M > MAX_M) must fall back
+    to plain XLA gather instead of launching a Mosaic kernel whose scoped
+    VMEM would blow up — public-helper contract, bit-identical values."""
+    import numpy as np
+
+    from imgadapointr_tpu.ops.pallas.gather_rows import (
+        MAX_C_HILO,
+        MAX_M_HILO,
+        gather_rows_pallas,
+    )
+
+    rng = np.random.RandomState(3)
+    for M, C in ((MAX_M_HILO * 2, 3), (MAX_M_HILO, MAX_C_HILO + 8)):
+        t = jnp.asarray(rng.randn(1, M, C), jnp.float32)
+        i = jnp.asarray(rng.randint(0, M, (1, 256)), jnp.int32)
+        out = gather_rows_pallas(t, i)  # must not require a TPU / Mosaic
+        want = jnp.take_along_axis(t, i[..., None], axis=1)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
+
+
+def test_parser_accepts_inert_reference_flags(capsys):
+    """A command line copied from the reference workflow (--deterministic,
+    --sync_bn, --launcher pytorch --local_rank 0) parses instead of crashing
+    argparse, and prints a notice that the flags are inert."""
+    from imgadapointr_tpu.utils.parser import get_args
+
+    args = get_args(
+        [
+            "--config", "cfgs/PCN_models/AdaPoinTr-tiny.yaml",
+            "--exp_name", "x",
+            "--deterministic", "--sync_bn",
+            "--launcher", "pytorch", "--local_rank", "0",
+        ]
+    )
+    assert args.deterministic and args.sync_bn
+    out = capsys.readouterr().out
+    assert "no effect" in out
