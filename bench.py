@@ -177,7 +177,32 @@ def bench_train():
         params, opt_state, bs, loss = jstep(params, opt_state, bs, partial, gt)
     float(loss)
     dt = (time.time() - t0) / TRAIN_ITERS
-    return dt, compile_s
+
+    # peak-HBM observability: AOT-lower the SAME step (persistent compile
+    # cache makes this free) and read XLA's memory analysis. Host-side
+    # metadata only — does not touch the timed path above.
+    peak_hbm_gb = None
+    try:
+        mem = (
+            jax.jit(step, donate_argnums=(0, 1, 2))
+            .lower(params, opt_state, bs, partial, gt)
+            .compile()
+            .memory_analysis()
+        )
+        if mem is not None:
+            peak_hbm_gb = round(
+                (
+                    getattr(mem, "temp_size_in_bytes", 0)
+                    + getattr(mem, "argument_size_in_bytes", 0)
+                    + getattr(mem, "output_size_in_bytes", 0)
+                    - getattr(mem, "alias_size_in_bytes", 0)
+                )
+                / 1e9,
+                2,
+            )
+    except Exception:
+        pass
+    return dt, compile_s, peak_hbm_gb
 
 
 def main():
@@ -185,7 +210,7 @@ def main():
 
     n_chips = jax.local_device_count()
     eval_cps, eval_dt, eval_compile = bench_eval()
-    train_dt, train_compile = bench_train()
+    train_dt, train_compile, peak_hbm_gb = bench_train()
     completions_per_s = eval_cps / max(n_chips, 1)
 
     print(
@@ -205,6 +230,11 @@ def main():
                 ),
                 "train_step_ms_bs16_16384": round(train_dt * 1000, 1),
                 "train_samples_per_s": round(TRAIN_BATCH / train_dt, 2),
+                **(
+                    {"train_peak_hbm_gb": peak_hbm_gb}
+                    if peak_hbm_gb is not None
+                    else {}
+                ),
             }
         )
     )

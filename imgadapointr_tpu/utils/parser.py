@@ -42,6 +42,10 @@ def get_args(argv=None):
     parser.add_argument("--wandb", action="store_true", default=False)
     parser.add_argument("--tp", type=int, default=1, help="tensor-parallel width")
     parser.add_argument("--synthetic", action="store_true", help="use SyntheticPCN data")
+    parser.add_argument("--syn_train_len", type=int, default=None,
+                        help="--synthetic train-split length (default: "
+                        "$SYN_TRAIN_LEN or 64; the convergence A/B harness "
+                        "uses 2048 — benchmarks/RESULTS.md)")
     parser.add_argument("--no_emd", dest="emd", action="store_false", default=True)
     parser.add_argument("--profile", action="store_true",
                         help="write a jax.profiler trace of a few train steps")

@@ -46,7 +46,7 @@ def main():
 
     config = get_config(args, logger=logger)
     if args.synthetic:
-        _swap_synthetic(config)
+        _swap_synthetic(config, train_len=args.syn_train_len)
 
     # batch size: reference splits total_bs across ranks (main.py:43-47);
     # here the mesh data axis splits across devices, loader across hosts
@@ -99,8 +99,13 @@ def _make_writers(args):
         return (None, None)
 
 
-def _swap_synthetic(config):
-    """Point every dataset split at SyntheticPCN, keeping model shapes."""
+def _swap_synthetic(config, train_len=None):
+    """Point every dataset split at SyntheticPCN, keeping model shapes.
+
+    ``train_len``: --syn_train_len flag; falls back to $SYN_TRAIN_LEN then
+    64 (the convergence A/B harness uses 2048, benchmarks/RESULTS.md)."""
+    if train_len is None:
+        train_len = int(os.environ.get("SYN_TRAIN_LEN", 64))
     n_points = int(config.model.get("num_points", 16384))
     for split in ("train", "val", "test"):
         if split in config.dataset:
@@ -113,7 +118,7 @@ def _swap_synthetic(config):
                 {
                     "NAME": "SyntheticPCN",
                     "N_POINTS": n_points,
-                    "LENGTH": int(os.environ.get("SYN_TRAIN_LEN", 64)) if split == "train" else 16,
+                    "LENGTH": int(train_len) if split == "train" else 16,
                     "WITH_IMG": with_img,
                     "WITH_CLS": with_cls,
                     "others": keep_others,

@@ -514,3 +514,27 @@ def test_parser_accepts_inert_reference_flags(capsys):
     assert args.deterministic and args.sync_bn
     out = capsys.readouterr().out
     assert "no effect" in out
+
+
+def test_syn_train_len_flag_plumbs_to_config():
+    """--syn_train_len overrides the synthetic train split length; the env
+    fallback and the 64 default stay (back-compat with the recorded harness
+    invocations in benchmarks/RESULTS.md)."""
+    # Load OUR main.py by path: parity tests put /root/reference on sys.path,
+    # so a bare `import main` can resolve to the reference's entry point.
+    import importlib.util, pathlib
+    main_path = pathlib.Path(__file__).resolve().parents[1] / "main.py"
+    spec = importlib.util.spec_from_file_location("_repo_main", main_path)
+    main_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(main_mod)
+    from imgadapointr_tpu.utils.config import cfg_from_yaml_file
+
+    cfg = cfg_from_yaml_file("cfgs/PCN_models/AdaPoinTr-mid21.yaml")
+    main_mod._swap_synthetic(cfg, train_len=2048)
+    assert cfg.dataset.train.LENGTH == 2048
+    assert cfg.dataset.val.LENGTH == 16  # only the train split scales
+
+    cfg = cfg_from_yaml_file("cfgs/PCN_models/AdaPoinTr-mid21.yaml")
+    main_mod._swap_synthetic(cfg)  # default: $SYN_TRAIN_LEN or 64
+    import os as _os
+    assert cfg.dataset.train.LENGTH == int(_os.environ.get("SYN_TRAIN_LEN", 64))
