@@ -159,6 +159,11 @@ def _fwd_impl(table: jax.Array, idx: jax.Array, interpret: bool = False):
             # gather — same semantics, no Mosaic VMEM blow-up on huge tiles
             return jnp.take_along_axis(table, idx[..., None], axis=1)
         return _fwd_impl_hilo(table, idx, interpret)
+    if table.shape[2] > MAX_C:
+        # wide channels in the probe regime: the (Mp, Cp) table block plus
+        # the (Cp, Mp) transposed scratch exceed Mosaic's 16 MB scoped VMEM
+        # (and wide gathers measured faster on XLA anyway — module docstring)
+        return jnp.take_along_axis(table, idx[..., None], axis=1)
     B, M, C = table.shape
     S = idx.shape[1]
     Cp = C + (-C) % 8

@@ -552,7 +552,18 @@ def converter_for(name: str) -> Callable[..., dict]:
         return convert_seg_adapointr
     if "Img" in name:  # ImgResNetEncAdaPoinTrVariableLoss
         return convert_img_adapointr
-    return convert_adapointr
+    if "AdaPoinTr" in name:  # AdaPoinTr / AdaPoinTrVariableLoss
+        return convert_adapointr
+    # convert_adapointr would otherwise crash deep inside on an
+    # AdaPoinTr-only config key (encoder_config.embed_dim) — fail loudly
+    # at the dispatch boundary instead
+    raise ValueError(
+        f"no torch-checkpoint converter for model {name!r}: .pth loading "
+        "supports the AdaPoinTr family only (AdaPoinTr, AdaPoinTrVariableLoss, "
+        "ImgResNetEncAdaPoinTrVariableLoss, SegEncAdaPoinTr, "
+        "ImgEncSegDecAdaPoinTrVariableLoss); train other models natively or "
+        "extend tools/convert_torch.py"
+    )
 
 
 def load_torch_state(path: str) -> Dict[str, np.ndarray]:

@@ -62,6 +62,11 @@ class Runner:
         # accept both so hand-built test configs with a literal _base_ work
         base = (train_cfg.get("_base_") or train_cfg) if train_cfg else None
         aug = train_cfg.get("train_aug") if train_cfg else None
+        if aug is None and train_cfg is not None and "train_aug" in train_cfg:
+            # a bare `train_aug:` line (YAML null) means the user explicitly
+            # turned augmentation OFF — don't fall through to NAME inference,
+            # which would silently re-enable it
+            aug = "none"
         if aug is None and base is not None:
             name = base.get("NAME", "")
             if "ShapeNet" in name and "PCN" not in name:
@@ -292,6 +297,10 @@ class Runner:
             batch["gt"],
             require_emd=require_emd,
             ignore_zeros=(dense.shape[0] == 1),
+            # vec[4] IS the F-Score of (dense, gt) from _eval_metrics_core's
+            # shared NN pass — recomputing it here would pay a second full
+            # O(N·M) pass for an identical value
+            f_value=vec[4],
         )
         return jnp.concatenate([vec, jnp.stack(vals)])
 
@@ -324,7 +333,13 @@ class Runner:
             params, batch_stats, batch
         )
         rows = compute_metrics_per_sample(
-            dense, batch["gt"], require_emd=require_emd, ignore_zeros=True
+            dense,
+            batch["gt"],
+            require_emd=require_emd,
+            ignore_zeros=True,
+            # per_sample[:, 4] is the per-sample F of (dense, gt) already
+            # computed by _eval_metrics_core's shared NN pass
+            f_values=per_sample[:, 4],
         )
         return jnp.concatenate([per_sample, rows], axis=1)
 

@@ -25,11 +25,11 @@ METRIC_INIT = {"F-Score": 0.0, "CDL1": 32767.0, "CDL2": 32767.0, "EMDistance": 3
 def _nonzero_mask(cloud: jax.Array) -> jax.Array:
     """(B, N) float mask: 1 for real rows, 0 for zero-padded rows.
 
-    Reference ``non_zeros`` uses ``sum(xyz, dim=2) != 0``
-    (extensions/chamfer_dist/__init__.py:37-41); abs-sum here is identical
-    for all-zero padding rows and safer for real points whose coords happen
-    to sum to zero."""
-    return (jnp.sum(jnp.abs(cloud), axis=-1) > 0).astype(jnp.float32)
+    Matches the reference ``non_zeros`` exactly: signed
+    ``sum(xyz, dim=2) != 0`` (extensions/chamfer_dist/__init__.py:37-41) —
+    a real point whose coordinates happen to sum to zero IS dropped there,
+    so it is dropped here too (bug-for-bug test-table parity)."""
+    return (jnp.sum(cloud, axis=-1) != 0).astype(jnp.float32)
 
 
 def f_score(
@@ -96,7 +96,13 @@ def eval_metric_suite(
     return f, cd_l1, cd_l2
 
 
-def compute_metrics(pred, gt, require_emd: bool = False, ignore_zeros: bool = False):
+def compute_metrics(
+    pred,
+    gt,
+    require_emd: bool = False,
+    ignore_zeros: bool = False,
+    f_value: jax.Array | None = None,
+):
     """Return [F-Score, CDL1×1000, CDL2×1000, EMD×1000] (reference
     Metrics.get, utils/metrics.py:46-57). EMD is 0 unless requested.
 
@@ -106,6 +112,12 @@ def compute_metrics(pred, gt, require_emd: bool = False, ignore_zeros: bool = Fa
     the neighbour candidates. Faithful scope: the reference applies this to
     CDL1/CDL2 only — its F-Score (open3d, full clouds) and EMD never strip
     zeros — so neither do we.
+
+    ``f_value``: optional precomputed batch-mean F-Score of (pred, gt) —
+    callers that already ran :func:`eval_metric_suite` on the same clouds
+    pass its F to skip a second full O(N·M) NN pass (the threshold counting
+    is identical: both floor the squared distances below 1e-24, twelve
+    orders of magnitude under th²).
     """
     w_pred = _nonzero_mask(pred) if ignore_zeros else None
     w_gt = _nonzero_mask(gt) if ignore_zeros else None
@@ -117,7 +129,8 @@ def compute_metrics(pred, gt, require_emd: bool = False, ignore_zeros: bool = Fa
     s2 = jnp.sqrt(jnp.maximum(d2, 1e-24))
     cd_l1 = (_masked_mean(s1, w_pred) + _masked_mean(s2, w_gt)) / 2.0
     cd_l2 = _masked_mean(d1, w_pred) + _masked_mean(d2, w_gt)
-    vals = [f_score(pred, gt), cd_l1 * 1000.0, cd_l2 * 1000.0]
+    f = f_score(pred, gt) if f_value is None else jnp.asarray(f_value)
+    vals = [f, cd_l1 * 1000.0, cd_l2 * 1000.0]
     if require_emd:
         from ..ops.emd import emd_distance_metric
 
@@ -128,7 +141,11 @@ def compute_metrics(pred, gt, require_emd: bool = False, ignore_zeros: bool = Fa
 
 
 def compute_metrics_per_sample(
-    pred, gt, require_emd: bool = False, ignore_zeros: bool = False
+    pred,
+    gt,
+    require_emd: bool = False,
+    ignore_zeros: bool = False,
+    f_values: jax.Array | None = None,
 ):
     """(B, 4) per-sample [F-Score, CDL1×1000, CDL2×1000, EMD×1000] rows.
 
@@ -138,6 +155,10 @@ def compute_metrics_per_sample(
     dispatch and the EMD auction's per-iteration overhead. ``ignore_zeros``
     masks are per-sample, reproducing the reference's bs=1
     ``ChamferDistance*(ignore_zeros=True)`` semantics for every row.
+
+    ``f_values``: optional precomputed per-sample (B,) F-Scores of
+    (pred, gt) — see :func:`compute_metrics`; skips the second full NN pass
+    when the caller already ran :func:`eval_metric_suite` on these clouds.
     """
     w_pred = _nonzero_mask(pred) if ignore_zeros else None
     w_gt = _nonzero_mask(gt) if ignore_zeros else None
@@ -155,7 +176,7 @@ def compute_metrics_per_sample(
     cd_l2 = pmean(d1, w_pred) + pmean(d2, w_gt)
     # reference F-Score / EMD never strip zeros (utils/metrics.py:68-90,
     # 112-116) — same scope as compute_metrics
-    f = f_score(pred, gt, reduce=False)
+    f = f_score(pred, gt, reduce=False) if f_values is None else jnp.asarray(f_values)
     if require_emd:
         from ..ops.emd import emd_auction
 

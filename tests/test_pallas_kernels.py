@@ -163,6 +163,21 @@ def test_gather_rows_interpret(B, M, C, S):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
 
 
+def test_gather_rows_wide_channels_fall_back_to_xla():
+    """Direct gather_rows_pallas calls with C > MAX_C in the probe regime
+    (M <= MAX_M) must take the XLA fallback: the (Mp, Cp) table block plus
+    the (Cp, Mp) scratch would blow Mosaic's 16 MB scoped VMEM. No interpret
+    context here — reaching a pallas_call on CPU would fail loudly."""
+    from imgadapointr_tpu.ops.pallas.gather_rows import MAX_C, gather_rows_pallas
+
+    rng = np.random.RandomState(3)
+    table = jnp.asarray(rng.randn(1, 256, MAX_C + 72), jnp.float32)
+    idx = jnp.asarray(rng.randint(0, 256, (1, 64)), jnp.int32)
+    out = gather_rows_pallas(table, idx)
+    want = jnp.take_along_axis(table, idx[..., None], axis=1)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
+
+
 def test_gather_rows_grad_matches_xla():
     """Custom-VJP scatter-add == XLA take_along_axis backward, bit-level
     (duplicate indices accumulate identically)."""

@@ -120,6 +120,17 @@ def test_train_aug_explicit_overrides_name():
     assert r.shapenet_train_crop
 
 
+def test_train_aug_explicit_null_means_off():
+    """A bare `train_aug:` line (YAML null) is an explicit OFF — it must NOT
+    fall through to NAME inference, which would silently re-enable crop on a
+    ShapeNet-named dataset."""
+    r = _runner_with_train_cfg(
+        {"train_aug": None, "NAME": "ShapeNet55", "N_POINTS": 8192}
+    )
+    assert r.train_aug == "none"
+    assert not r.shapenet_train_crop and not r.cars_dropping
+
+
 def test_train_aug_inferred_back_compat():
     r = _runner_with_train_cfg({"NAME": "ShapeNet55", "N_POINTS": 8192})
     assert r.shapenet_train_crop  # inferred, reference behaviour
@@ -466,8 +477,16 @@ def test_converter_for_single_source_dispatch():
     assert c.keywords == {"with_img": True}  # the dropped-image-branch bug
     assert converter_for("SegEncAdaPoinTr") is convert_seg_adapointr
     assert converter_for("ImgResNetEncAdaPoinTrVariableLoss") is convert_img_adapointr
-    for name in ("AdaPoinTr", "AdaPoinTrVariableLoss", "PCN", "FoldingNet"):
+    for name in ("AdaPoinTr", "AdaPoinTrVariableLoss"):
         assert converter_for(name) is convert_adapointr
+
+    # non-AdaPoinTr families fail loudly at the dispatch boundary instead of
+    # crashing deep inside convert_adapointr on AdaPoinTr-only config keys
+    import pytest
+
+    for name in ("PCN", "FoldingNet", "GRNet", "SnowFlakeNet", "TopNet"):
+        with pytest.raises(ValueError, match="no torch-checkpoint converter"):
+            converter_for(name)
 
     # and the parity harnesses route through the same function
     import parity.run_parity as rp
@@ -538,3 +557,49 @@ def test_syn_train_len_flag_plumbs_to_config():
     main_mod._swap_synthetic(cfg)  # default: $SYN_TRAIN_LEN or 64
     import os as _os
     assert cfg.dataset.train.LENGTH == int(_os.environ.get("SYN_TRAIN_LEN", 64))
+
+
+def test_nonzero_mask_signed_sum_parity():
+    """ignore_zeros drops rows by SIGNED sum != 0, exactly like the reference
+    (extensions/chamfer_dist/__init__.py:37-41): a real point whose
+    coordinates sum to zero is dropped there too (bug-for-bug parity)."""
+    from imgadapointr_tpu.utils.metrics import _nonzero_mask
+
+    cloud = jnp.asarray(
+        [[[0.3, -0.3, 0.0],   # real point, signed sum == 0 -> DROPPED
+          [0.0, 0.0, 0.0],    # padding -> dropped
+          [0.1, 0.2, 0.3]]],  # real point -> kept
+        dtype=jnp.float32,
+    )
+    mask = np.asarray(_nonzero_mask(cloud))
+    np.testing.assert_array_equal(mask, [[0.0, 0.0, 1.0]])
+
+
+def test_precomputed_f_plumbing_matches_recompute():
+    """compute_metrics(_per_sample) with the eval-suite F passed in must
+    equal the self-computed variant bit-for-bit on the default (exact) eval
+    path — the runner's --test step relies on this to drop a redundant full
+    NN pass per batch."""
+    from imgadapointr_tpu.utils.metrics import (
+        compute_metrics,
+        compute_metrics_per_sample,
+        eval_metric_suite,
+    )
+
+    rng = np.random.RandomState(7)
+    pred = jnp.asarray(rng.randn(3, 96, 3).astype(np.float32) * 0.2)
+    gt = jnp.asarray(rng.randn(3, 128, 3).astype(np.float32) * 0.2)
+
+    f_ps, _, _ = eval_metric_suite(pred, gt, reduce=False)
+    rows_self = np.asarray(compute_metrics_per_sample(pred, gt))
+    rows_plumbed = np.asarray(compute_metrics_per_sample(pred, gt, f_values=f_ps))
+    np.testing.assert_array_equal(rows_self, rows_plumbed)
+
+    p1, g1 = pred[:1], gt[:1]
+    f_b, _, _ = eval_metric_suite(p1, g1)
+    vals_self = [float(v) for v in compute_metrics(p1, g1, ignore_zeros=True)]
+    vals_plumbed = [
+        float(v)
+        for v in compute_metrics(p1, g1, ignore_zeros=True, f_value=f_b)
+    ]
+    assert vals_self == vals_plumbed
