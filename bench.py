@@ -178,14 +178,14 @@ def bench_train():
     float(loss)
     dt = (time.time() - t0) / TRAIN_ITERS
 
-    # peak-HBM observability: AOT-lower the SAME step (persistent compile
-    # cache makes this free) and read XLA's memory analysis. Host-side
-    # metadata only — does not touch the timed path above.
+    # peak-HBM observability: AOT-lower jstep ITSELF (identical jit cache
+    # key as the timed executable — no retrace, no second remote compile)
+    # and read XLA's memory analysis. Host-side metadata only — does not
+    # touch the timed path above.
     peak_hbm_gb = None
     try:
         mem = (
-            jax.jit(step, donate_argnums=(0, 1, 2))
-            .lower(params, opt_state, bs, partial, gt)
+            jstep.lower(params, opt_state, bs, partial, gt)
             .compile()
             .memory_analysis()
         )

@@ -37,6 +37,17 @@ from .builder import build_opt_sched, dataset_builder
 SHAPENET_DICT_PATH = os.path.join("cfgs", "shapenet_synset_dict.json")
 
 
+def _mxu_eval_chamfer_on() -> bool:
+    """True when the opt-in MXU eval-chamfer kernel is active
+    (``IMGADAPOINTR_ENABLE_MXU_EVAL_CHAMFER`` — ops/chamfer.nn_distance_eval).
+    Its ~1e-3 selection band is gated metric-safe for the CDs but would
+    shift F@th threshold counting, so the --test steps only reuse the eval
+    suite's F on the default exact path. Read at trace time (the jit cache
+    key does not include env vars — flipping the env mid-process would
+    otherwise silently keep the old graph)."""
+    return bool(os.environ.get("IMGADAPOINTR_ENABLE_MXU_EVAL_CHAMFER"))
+
+
 class Runner:
     """Owns model spec, sharded state, and the jitted step functions."""
 
@@ -299,8 +310,11 @@ class Runner:
             ignore_zeros=(dense.shape[0] == 1),
             # vec[4] IS the F-Score of (dense, gt) from _eval_metrics_core's
             # shared NN pass — recomputing it here would pay a second full
-            # O(N·M) pass for an identical value
-            f_value=vec[4],
+            # O(N·M) pass for an identical value. Bit-equal ONLY on the
+            # default exact eval path: under the MXU eval-chamfer opt-in the
+            # suite F carries a ~1e-3 selection band, so the reference-
+            # protocol table keeps its own exact pass there.
+            f_value=None if _mxu_eval_chamfer_on() else vec[4],
         )
         return jnp.concatenate([vec, jnp.stack(vals)])
 
@@ -338,8 +352,9 @@ class Runner:
             require_emd=require_emd,
             ignore_zeros=True,
             # per_sample[:, 4] is the per-sample F of (dense, gt) already
-            # computed by _eval_metrics_core's shared NN pass
-            f_values=per_sample[:, 4],
+            # computed by _eval_metrics_core's shared NN pass (exact-path
+            # only — see _test_step)
+            f_values=None if _mxu_eval_chamfer_on() else per_sample[:, 4],
         )
         return jnp.concatenate([per_sample, rows], axis=1)
 

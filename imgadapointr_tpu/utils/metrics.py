@@ -115,9 +115,13 @@ def compute_metrics(
 
     ``f_value``: optional precomputed batch-mean F-Score of (pred, gt) —
     callers that already ran :func:`eval_metric_suite` on the same clouds
-    pass its F to skip a second full O(N·M) NN pass (the threshold counting
-    is identical: both floor the squared distances below 1e-24, twelve
-    orders of magnitude under th²).
+    pass its F to skip a second full O(N·M) NN pass. Threshold counting is
+    identical on the exact eval path: the sqrt floors differ (0 here,
+    1e-24 in the suite) but both map to values < 1e-12, ten orders of
+    magnitude under th. CAVEAT: under the MXU eval-chamfer opt-in the
+    suite's selection carries a ~1e-3 band that can flip hits at the
+    threshold — callers must not plumb f_value in that regime (the runner
+    checks, tools/runner.py:_mxu_eval_chamfer_on).
     """
     w_pred = _nonzero_mask(pred) if ignore_zeros else None
     w_gt = _nonzero_mask(gt) if ignore_zeros else None

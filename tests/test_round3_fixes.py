@@ -559,6 +559,18 @@ def test_syn_train_len_flag_plumbs_to_config():
     assert cfg.dataset.train.LENGTH == int(_os.environ.get("SYN_TRAIN_LEN", 64))
 
 
+def test_mxu_eval_optin_disables_f_plumbing(monkeypatch):
+    """Under IMGADAPOINTR_ENABLE_MXU_EVAL_CHAMFER the --test steps must NOT
+    reuse the eval suite's F (its ~1e-3 selection band can flip F@th hits);
+    the guard is the trace-time env check the runner branches on."""
+    from imgadapointr_tpu.tools.runner import _mxu_eval_chamfer_on
+
+    monkeypatch.delenv("IMGADAPOINTR_ENABLE_MXU_EVAL_CHAMFER", raising=False)
+    assert not _mxu_eval_chamfer_on()
+    monkeypatch.setenv("IMGADAPOINTR_ENABLE_MXU_EVAL_CHAMFER", "1")
+    assert _mxu_eval_chamfer_on()
+
+
 def test_nonzero_mask_signed_sum_parity():
     """ignore_zeros drops rows by SIGNED sum != 0, exactly like the reference
     (extensions/chamfer_dist/__init__.py:37-41): a real point whose
