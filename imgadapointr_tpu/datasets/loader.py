@@ -77,26 +77,47 @@ class DataLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def bounded_put(msg) -> bool:
+            # never block forever: an abandoned consumer (exception in a
+            # train step, early break, GC'd generator) sets `stop` but can
+            # no longer drain the queue — a plain q.put would deadlock the
+            # producer holding prefetched batches + the thread pool
+            while not stop.is_set():
+                try:
+                    q.put(msg, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
+            # decode errors are SURFACED, not swallowed: the torch
+            # DataLoader re-raises worker exceptions in the main process;
+            # silently truncating the epoch would corrupt schedules/metrics
+            # with no diagnostic
             try:
                 for b in range(nb):
                     idxs = list(range(b * self.batch_size, min((b + 1) * self.batch_size, len(order))))
                     if self.drop_last and len(idxs) < self.batch_size:
                         break
                     samples = list(pool.map(fetch, idxs))
-                    if stop.is_set():
+                    if not bounded_put(("batch", self._collate(samples))):
                         return
-                    q.put(self._collate(samples))
-            finally:
-                q.put(None)
+                bounded_put(("end", None))
+            except BaseException as exc:  # noqa: BLE001 — relayed, not dropped
+                bounded_put(("error", exc))
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
         try:
             while True:
-                item = q.get()
-                if item is None:
+                kind, item = q.get()
+                if kind == "end":
                     break
+                if kind == "error":
+                    raise RuntimeError(
+                        "DataLoader worker failed while decoding a batch"
+                    ) from item
                 yield item
         finally:
             stop.set()

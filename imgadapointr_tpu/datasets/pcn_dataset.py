@@ -37,13 +37,18 @@ def _load_image(path: str, size: int = 224) -> np.ndarray:
 
     img = Image.open(path).convert("RGB")
     w, h = img.size
-    # torchvision Resize(224): shorter side → 224, keep aspect; PCN renders
-    # are square so this is just a square resize.
+    # torchvision transforms.Resize(224) exactly (reference
+    # BasePCNDataset.py:41-44): shorter side → 224, long side int()-FLOORED,
+    # InterpolationMode.BILINEAR (PIL's bare .resize defaults to BICUBIC —
+    # pixel-level divergence the image-encoder parity harness would see).
     if w <= h:
-        img = img.resize((size, int(round(h * size / w))))
+        img = img.resize((size, int(h * size / w)), Image.Resampling.BILINEAR)
     else:
-        img = img.resize((int(round(w * size / h)), size))
+        img = img.resize((int(w * size / h), size), Image.Resampling.BILINEAR)
     arr = np.asarray(img, dtype=np.float32) / 255.0
+    # PCN/ShapeNet renders are square, so this crop is a no-op; a non-square
+    # render would crash the reference's collate outright — keep a defined
+    # (top-left) crop instead of failing.
     return arr[:size, :size]
 
 

@@ -115,8 +115,9 @@ class SelfAttnBlockApi(nn.Module):
         )
 
         def run_local(y):
-            if local_token == "rw_deform":
-                return local_attn(y, pos, idx=idx, deterministic=deterministic)
+            # every self-attn local variant (graph / deform / rw_deform /
+            # deform_graph) takes the same (y, pos, idx) call — contrast
+            # CrossAttnBlockApi.run_local_self, where denoise_length differs
             return local_attn(y, pos, idx=idx, deterministic=deterministic)
 
         if has_attn and local_token:

@@ -63,18 +63,31 @@ def _wrap(v):
     return v
 
 
+def _deep_merge(child, base):
+    """Child wins per-key, dicts merge RECURSIVELY — the reference's
+    merge_new_config semantics (utils/config.py:18-35): overriding one
+    sub-key of a nested base dict keeps the base's other sub-keys."""
+    if isinstance(child, Mapping) and isinstance(base, Mapping):
+        merged = dict(base)
+        for k, v in child.items():
+            merged[k] = _deep_merge(v, base[k]) if k in base else v
+        return merged
+    return child
+
+
 def _merge_base(cfg: dict, root: str) -> dict:
     """Recursively resolve ``_base_`` keys (reference utils/config.py:18-35)."""
     out = {}
+    base = None
     for k, v in cfg.items():
         if k == "_base_":
             base = cfg_from_yaml_file(os.path.join(root, v) if not os.path.isabs(v) else v)
-            for bk, bv in base.items():
-                out.setdefault(bk, bv)
         elif isinstance(v, dict):
             out[k] = _merge_base(v, root)
         else:
             out[k] = v
+    if base is not None:
+        out = _deep_merge(out, base)
     return out
 
 

@@ -72,7 +72,10 @@ class IO:
         with open(path, "rb") as f:
             header = {}
             while True:
-                line = f.readline().decode("ascii", errors="replace").strip()
+                raw = f.readline()
+                if not raw:  # EOF before DATA — a bare `continue` would spin
+                    raise ValueError(f"truncated PCD header (no DATA line): {path}")
+                line = raw.decode("ascii", errors="replace").strip()
                 if line.startswith("#") or not line:
                     continue
                 key, _, val = line.partition(" ")
@@ -122,7 +125,10 @@ class IO:
             n_vertex = 0
             props = []
             while True:
-                line = f.readline().decode("ascii").strip()
+                raw = f.readline()
+                if not raw:  # EOF before end_header — would loop forever
+                    raise ValueError(f"truncated PLY header: {path}")
+                line = raw.decode("ascii").strip()
                 if line.startswith("format"):
                     fmt = line.split()[1]
                 elif line.startswith("element vertex"):

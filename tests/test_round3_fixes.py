@@ -615,3 +615,122 @@ def test_precomputed_f_plumbing_matches_recompute():
         for v in compute_metrics(p1, g1, ignore_zeros=True, f_value=f_b)
     ]
     assert vals_self == vals_plumbed
+
+
+# ---------------------------------------------------------------- loader/IO
+
+
+class _ExplodingDataset:
+    def __len__(self):
+        return 8
+
+    def get(self, idx, rng):
+        if idx == 5:
+            raise OSError("corrupt sample 5")
+        return "tax", f"m{idx}", {"gt": np.zeros((4, 3), np.float32)}
+
+
+def test_loader_surfaces_worker_errors():
+    """A decode error must re-raise in the consumer (torch DataLoader
+    semantics), not silently truncate the epoch at that batch."""
+    from imgadapointr_tpu.datasets.loader import DataLoader
+
+    dl = DataLoader(_ExplodingDataset(), batch_size=2, shuffle=False,
+                    drop_last=False, num_workers=2)
+    with pytest.raises(RuntimeError, match="DataLoader worker failed"):
+        for _ in dl:
+            pass
+
+
+def test_loader_abandoned_iterator_does_not_deadlock_producer():
+    """Breaking out of an epoch mid-iteration must let the producer thread
+    exit (it previously blocked forever in q.put on the full prefetch
+    queue, leaking the thread + prefetched batches every abandoned epoch)."""
+    import threading
+    import time as _time
+
+    from imgadapointr_tpu.datasets.loader import DataLoader
+
+    class _Slow:
+        def __len__(self):
+            return 64
+
+        def get(self, idx, rng):
+            return "tax", f"m{idx}", {"gt": np.zeros((256, 3), np.float32)}
+
+    before = {t.ident for t in threading.enumerate()}
+    dl = DataLoader(_Slow(), batch_size=4, shuffle=False, drop_last=False,
+                    num_workers=2, prefetch=1)
+    for i, _ in enumerate(dl):
+        if i == 1:
+            break  # abandon mid-epoch with the queue full
+    deadline = _time.time() + 10.0
+    while _time.time() < deadline:
+        leaked = [t for t in threading.enumerate()
+                  if t.ident not in before and t.is_alive()
+                  and t.name.startswith("Thread-")]
+        if not leaked:
+            break
+        _time.sleep(0.1)
+    assert not leaked, f"producer/pool threads leaked: {leaked}"
+
+
+def test_truncated_pcd_ply_raise_not_hang(tmp_path):
+    """EOF before the header terminator must raise, not spin the worker
+    thread forever (readline() returns '' at EOF, which the old loop
+    treated as a skippable blank line)."""
+    from imgadapointr_tpu.utils.io_module import IO
+
+    p = tmp_path / "trunc.pcd"
+    p.write_bytes(b"# .PCD v0.7\nVERSION 0.7\nFIELDS x y z\n")  # no DATA
+    with pytest.raises(ValueError, match="truncated PCD"):
+        IO.get(str(p))
+
+    q = tmp_path / "trunc.ply"
+    q.write_bytes(b"ply\nformat ascii 1.0\nelement vertex 3\n")  # no end_header
+    with pytest.raises(ValueError, match="truncated PLY"):
+        IO.get(str(q))
+
+
+def test_config_base_deep_merges_nested_dicts(tmp_path):
+    """Overriding ONE sub-key of a nested `_base_` dict keeps the base's
+    other sub-keys (reference merge_new_config recurses; the old shallow
+    merge dropped the whole base dict)."""
+    from imgadapointr_tpu.utils.config import cfg_from_yaml_file
+
+    (tmp_path / "base.yaml").write_text(
+        "model:\n  NAME: AdaPoinTr\n  num_query: 512\n  depth: 6\n"
+    )
+    (tmp_path / "child.yaml").write_text(
+        "_base_: base.yaml\nmodel:\n  num_query: 256\n"
+    )
+    cfg = cfg_from_yaml_file(str(tmp_path / "child.yaml"), root=str(tmp_path))
+    assert cfg.model.num_query == 256      # child override wins
+    assert cfg.model.NAME == "AdaPoinTr"   # base's other sub-keys survive
+    assert cfg.model.depth == 6
+
+
+def test_load_image_matches_torchvision_resize():
+    """_load_image must reproduce the reference's image pipeline pixel-wise:
+    torchvision transforms.Resize(224) (BILINEAR, int()-floored long side)
+    + ToTensor (reference BasePCNDataset.py:41-44)."""
+    pytest.importorskip("torchvision")
+    import torch
+    from PIL import Image
+    from torchvision import transforms
+
+    from imgadapointr_tpu.datasets.pcn_dataset import _load_image
+
+    rng = np.random.RandomState(11)
+    arr = rng.randint(0, 256, (137, 137, 3), dtype=np.uint8)  # ShapeNet render size
+    img = Image.fromarray(arr)
+
+    tv = transforms.Compose([transforms.Resize(224), transforms.ToTensor()])
+    want = tv(img).permute(1, 2, 0).numpy()  # CHW -> HWC, /255
+
+    import tempfile, os as _os
+    with tempfile.TemporaryDirectory() as d:
+        path = _os.path.join(d, "render.png")
+        img.save(path)
+        got = _load_image(path)
+    np.testing.assert_allclose(got, want, atol=1e-6)
