@@ -92,11 +92,23 @@ def get_reconstructor(model_name: str, ckpt_dir: str) -> PCReconstructor:
     # the RESOLVED path), so dropping the .ckpt in after launch picks up
     # real weights instead of pinning the random-init fallback forever
     config_path, ckpt_name = MODEL_CONFIGS[model_name]
-    ckpt = os.path.join(ckpt_dir, ckpt_name)
-    if not os.path.exists(ckpt):
-        print(f"[demo] WARNING: {ckpt} missing — {model_name} runs RANDOM-INIT")
-        ckpt = ""
+    ckpt = _resolve_ckpt(ckpt_dir, ckpt_name, model_name)
     return _reconstructor(config_path, ckpt)
+
+
+def _resolve_ckpt(ckpt_dir: str, ckpt_name: str, model_name: str) -> str:
+    """Probe <name>.ckpt then the <name>.pth sibling (the names a reference
+    user's pretrained/ directory carries — PCReconstructor routes .pth
+    through the torch-checkpoint converter); '' means random-init."""
+    ckpt = os.path.join(ckpt_dir, ckpt_name)
+    if os.path.exists(ckpt):
+        return ckpt
+    pth = ckpt[: -len(".ckpt")] + ".pth"
+    if os.path.exists(pth):
+        return pth
+    print(f"[demo] WARNING: neither {ckpt} nor {pth} found — "
+          f"{model_name} runs RANDOM-INIT")
+    return ""
 
 
 def load_sample_points(label: str, samples_dir: str = SAMPLES_DIR) -> np.ndarray:

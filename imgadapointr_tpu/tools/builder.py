@@ -90,12 +90,26 @@ def build_opt_sched(config, steps_per_epoch: int, params, frozen_paths=()):
     base_lr = float(kwargs.lr)
     lr_epoch = build_lr_schedule(base_lr, sched_cfg, max_epoch)
 
-    def lr_step(step):
+    k = int(config.get("step_per_update", 1))  # grad accumulation factor
+
+    def _lr_at(count, per_epoch):
         # int32/int true-divides to f32 even under x64 — cast the count to
         # the default float dtype first (f64 in the fp64 parity harness)
         import jax.numpy as jnp
 
-        return lr_epoch(jnp.asarray(step, jnp.result_type(float)) / steps_per_epoch)
+        return lr_epoch(jnp.asarray(count, jnp.result_type(float)) / per_epoch)
+
+    def lr_step(step):
+        """epoch-correct lr from a RAW BATCH count (runner logging)."""
+        return _lr_at(step, steps_per_epoch)
+
+    def lr_update(step):
+        """epoch-correct lr from an OPTIMIZER-UPDATE count: under
+        optax.MultiSteps the inner chain (and its schedule counter) steps
+        once per k mini-batches, so the per-epoch divisor shrinks by k —
+        otherwise the warmup/decay would stretch to k× the configured
+        epochs. Identical to lr_step at k=1."""
+        return _lr_at(step, steps_per_epoch / k)
 
     def _frozen(path):
         s = jax.tree_util.keystr(path)
@@ -110,14 +124,38 @@ def build_opt_sched(config, steps_per_epoch: int, params, frozen_paths=()):
         params,
     )
     wd = float(kwargs.get("weight_decay", 0.0))
+    # torch skips params whose grad is None: frozen subtrees AND the DDP
+    # find_unused zero-grad subtrees get neither moments nor L2 there —
+    # mask coupled decay off both (reference builder.py:56-58 filters
+    # requires_grad; the zero-grad markers stay None under DDP)
+    trainable_mask = jax.tree_util.tree_map_with_path(
+        lambda path, _: not _frozen(path) and not _zero_grad(path), params
+    )
     if opt_cfg.type == "AdamW":
-        tx = optax.adamw(lr_step, weight_decay=wd, mask=decay_mask)
+        tx = optax.adamw(lr_update, weight_decay=wd, mask=decay_mask)
     elif opt_cfg.type == "Adam":
-        tx = optax.adamw(lr_step, weight_decay=wd, mask=decay_mask, b1=0.9, b2=0.999)
-    elif opt_cfg.type == "SGD":
+        # torch.optim.Adam: COUPLED L2 (wd·p added to the grad before the
+        # moment updates) on every trainable param incl. 1-D — NOT the
+        # AdamW decoupled+masked decay (reference builder.py:55-56)
         tx = optax.chain(
-            optax.add_decayed_weights(wd, mask=decay_mask),
-            optax.sgd(lr_step, momentum=float(kwargs.get("momentum", 0.9)), nesterov=True),
+            optax.add_decayed_weights(wd, mask=trainable_mask)
+            if wd
+            else optax.identity(),
+            optax.adam(lr_update),
+        )
+    elif opt_cfg.type == "SGD":
+        # torch.optim.SGD defaults: momentum=0, nesterov=False, coupled L2
+        # via the `weight_decay` kwarg (reference builder.py:57-58 passes
+        # config kwargs straight through)
+        tx = optax.chain(
+            optax.add_decayed_weights(wd, mask=trainable_mask)
+            if wd
+            else optax.identity(),
+            optax.sgd(
+                lr_update,
+                momentum=float(kwargs.get("momentum", 0.0)) or None,
+                nesterov=bool(kwargs.get("nesterov", False)),
+            ),
         )
     else:
         raise NotImplementedError(f"optimizer {opt_cfg.type}")
@@ -138,7 +176,6 @@ def build_opt_sched(config, steps_per_epoch: int, params, frozen_paths=()):
         )
         tx = optax.chain(optax.masked(optax.set_to_zero(), frozen_mask), tx)
     # gradient accumulation (reference step_per_update, runner.py:207-215)
-    k = int(config.get("step_per_update", 1))
     if k > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=k)
 

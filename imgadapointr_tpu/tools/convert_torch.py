@@ -219,6 +219,11 @@ def convert_adapointr(
     linear("base_model.mlp_query.4", bm + ("mlp_query3",))
     for i, n in ((0, "query_ranking1"), (2, "query_ranking2"), (4, "query_ranking3")):
         linear(f"base_model.query_ranking.{i}", bm + (n,))
+    if int(config.decoder_config.embed_dim) != dim:
+        # mem_link = Linear(enc_dim, dec_dim) exists only when the widths
+        # differ (reference AdaPoinTr.py:74-77; nn.Identity otherwise —
+        # no torch keys, and the flax side skips the dense too)
+        linear("base_model.mem_link", bm + ("mem_link",))
 
     # ---- transformer blocks ----
     qkv_bias = bool(config.encoder_config.get("qkv_bias", True))

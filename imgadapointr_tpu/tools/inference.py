@@ -55,8 +55,17 @@ def _build(args):
         lambda k, x: spec.module.init({"params": k, "noise": k}, x, train=False)
     )(key, example)
     state = {"params": variables["params"], "batch_stats": variables.get("batch_stats", {})}
-    exp, prefix = os.path.split(args.model_checkpoint)
-    state, _ = load_checkpoint(state, prefix.replace(".ckpt", ""), exp)
+    if args.model_checkpoint.endswith(".pth"):
+        # reference torch checkpoints load directly, like main.py --test
+        # --ckpts and the demo (shared converter dispatch)
+        from .convert_torch import load_torch_checkpoint_into_state
+
+        state = load_torch_checkpoint_into_state(
+            state, args.model_checkpoint, config.model
+        )
+    else:
+        exp, prefix = os.path.split(args.model_checkpoint)
+        state, _ = load_checkpoint(state, prefix.replace(".ckpt", ""), exp)
     fwd = jax.jit(lambda s, x: spec.module.apply(s, x, train=False))
     return config, state, fwd
 

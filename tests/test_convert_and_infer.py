@@ -250,3 +250,64 @@ def test_load_gdanet_weights_from_torch_file(tmp_path):
     torch.save({"model": {"not_a_layer.weight": torch.zeros(3)}}, junk)
     with pytest.raises(ValueError, match="no GDANet weights matched"):
         load_gdanet_weights(junk)
+
+
+def test_inference_cli_loads_reference_pth(tmp_path):
+    """The inference CLI loads reference torch .pth checkpoints directly,
+    like main.py --test --ckpts and the demo (shared converter dispatch)."""
+    import torch
+
+    from imgadapointr_tpu.models.build import build_model_spec
+    from imgadapointr_tpu.tools import inference
+    from imgadapointr_tpu.tools.convert_torch import export_adapointr_torch
+    from imgadapointr_tpu.utils.config import cfg_from_yaml_file
+
+    cfg_path = "cfgs/PCN_models/AdaPoinTr-tiny.yaml"
+    if not os.path.exists(cfg_path):
+        pytest.skip("run from repo root")
+    config = cfg_from_yaml_file(cfg_path)
+    spec = build_model_spec(config.model)
+    key = jax.random.PRNGKey(1)
+    variables = jax.jit(
+        lambda k, x: spec.module.init({"params": k, "noise": k}, x, train=False)
+    )(key, jnp.zeros((1, 2048, 3)))
+    # export to the reference's on-disk format
+    sd = export_adapointr_torch(
+        variables["params"], variables.get("batch_stats", {}), config.model
+    )
+    pth = str(tmp_path / "model.pth")
+    torch.save({"base_model": {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}}, pth)
+
+    rs = np.random.RandomState(2)
+    pc_path = str(tmp_path / "cloud.npy")
+    np.save(pc_path, rs.randn(300, 3).astype(np.float32))
+    out_root = str(tmp_path / "out")
+    inference.main(
+        [
+            "--model_config", cfg_path,
+            "--model_checkpoint", pth,
+            "--pc", pc_path,
+            "--out_pc_root", out_root,
+        ]
+    )
+    fine = np.load(os.path.join(out_root, "cloud", "fine.npy"))
+    assert fine.shape == (config.model.num_points, 3)
+    assert np.isfinite(fine).all()
+
+
+def test_demo_resolve_ckpt_probes_pth_sibling(tmp_path, capsys):
+    """get_reconstructor probes the .pth sibling the reference demo ships
+    (pretrained/<Name>.pth) before falling back to random-init."""
+    import sys
+
+    sys.path.insert(0, os.getcwd())
+    from demo.app import _resolve_ckpt
+
+    pth = tmp_path / "SegEncAdaPoinTr.pth"
+    pth.write_bytes(b"x")
+    got = _resolve_ckpt(str(tmp_path), "SegEncAdaPoinTr.ckpt", "SegEncAdaPoinTr")
+    assert got == str(pth)
+
+    got = _resolve_ckpt(str(tmp_path), "ImgAdaPoinTr.ckpt", "Img")
+    assert got == ""
+    assert "RANDOM-INIT" in capsys.readouterr().out

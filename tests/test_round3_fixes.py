@@ -734,3 +734,91 @@ def test_load_image_matches_torchvision_resize():
         img.save(path)
         got = _load_image(path)
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+# ------------------------------------------------------------- optimizer parity
+
+
+def _sched_cfg(**kw):
+    base = {"type": "LambdaLR",
+            "kwargs": {"decay_step": 1, "lr_decay": 0.5, "lowest_decay": 1e-6}}
+    base.update(kw)
+    return base
+
+
+def test_adam_is_coupled_l2_like_torch():
+    """optimizer.type 'Adam' must reproduce torch.optim.Adam: COUPLED L2
+    (wd*p added to the grad before the moment updates, 1-D params included)
+    — NOT the AdamW decoupled masked decay it previously aliased to."""
+    import torch
+
+    from imgadapointr_tpu.tools.builder import build_opt_sched
+
+    cfg = AttrDict({
+        "optimizer": {"type": "Adam",
+                      "kwargs": {"lr": 1e-2, "weight_decay": 0.1}},
+        "scheduler": {"type": "LambdaLR",
+                      "kwargs": {"decay_step": 1000, "lr_decay": 1.0,
+                                 "lowest_decay": 1.0}},  # constant lr
+        "grad_norm_clip": 1e9,  # effectively off
+        "max_epoch": 10,
+    })
+    rng = np.random.RandomState(5)
+    w2 = rng.randn(4, 3).astype(np.float32)
+    b1 = rng.randn(3).astype(np.float32)  # 1-D: torch Adam decays it too
+    params = {"k": jnp.asarray(w2), "b": jnp.asarray(b1)}
+    g2 = rng.randn(4, 3).astype(np.float32)
+    g1 = rng.randn(3).astype(np.float32)
+    grads = {"k": jnp.asarray(g2), "b": jnp.asarray(g1)}
+
+    tx, _, _ = build_opt_sched(cfg, steps_per_epoch=100, params=params)
+    import optax
+    opt_state = tx.init(params)
+    p = params
+    for _ in range(3):
+        updates, opt_state = tx.update(grads, opt_state, p)
+        p = optax.apply_updates(p, updates)
+
+    tw = torch.tensor(w2, requires_grad=True)
+    tb = torch.tensor(b1, requires_grad=True)
+    opt = torch.optim.Adam([tw, tb], lr=1e-2, weight_decay=0.1)
+    for _ in range(3):
+        tw.grad = torch.tensor(g2)
+        tb.grad = torch.tensor(g1)
+        opt.step()
+    np.testing.assert_allclose(np.asarray(p["k"]), tw.detach().numpy(), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(p["b"]), tb.detach().numpy(), atol=2e-6)
+
+
+def test_multisteps_schedule_advances_per_update_not_per_batch():
+    """With step_per_update k>1, the LR schedule must advance per OPTIMIZER
+    update: k mini-batches = one schedule tick worth k/steps_per_epoch
+    epochs. Pre-fix, MultiSteps fed the inner schedule a count of batches/k
+    against an unscaled per-epoch divisor, stretching warmup/decay k x."""
+    import optax
+
+    from imgadapointr_tpu.tools.builder import build_opt_sched
+
+    base_lr = 1.0
+    cfg = AttrDict({
+        "optimizer": {"type": "SGD",
+                      "kwargs": {"lr": base_lr, "weight_decay": 0.0}},
+        "scheduler": _sched_cfg(),  # lr(e) = 0.5^e
+        "grad_norm_clip": 1e9,
+        "max_epoch": 8,
+        "step_per_update": 2,
+    })
+    params = {"w": jnp.zeros((2,), jnp.float32)}
+    grads = {"w": jnp.ones((2,), jnp.float32)}
+    tx, lr_step, _ = build_opt_sched(cfg, steps_per_epoch=2, params=params)
+    opt_state = tx.init(params)
+    p = params
+    for _ in range(4):  # 4 mini-batches = 2 optimizer updates = 2 epochs
+        updates, opt_state = tx.update(grads, opt_state, p)
+        p = optax.apply_updates(p, updates)
+    # update 1 at schedule count 0 (epoch 0, lr 1.0), update 2 at count 1
+    # (ONE update per epoch here -> epoch 1, lr 0.5); grads average to 1
+    want = -(1.0 + 0.5)
+    np.testing.assert_allclose(np.asarray(p["w"]), want, rtol=1e-6)
+    # and the logging schedule stays batch-count based: 4 batches = 2 epochs
+    np.testing.assert_allclose(float(lr_step(4)), base_lr * 0.25, rtol=1e-6)
