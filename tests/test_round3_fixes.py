@@ -714,10 +714,12 @@ def test_load_image_matches_torchvision_resize():
     """_load_image must reproduce the reference's image pipeline pixel-wise:
     torchvision transforms.Resize(224) (BILINEAR, int()-floored long side)
     + ToTensor (reference BasePCNDataset.py:41-44)."""
-    pytest.importorskip("torchvision")
-    import torch
+    tv_mod = pytest.importorskip("torchvision")
     from PIL import Image
     from torchvision import transforms
+
+    if not hasattr(transforms, "Compose"):  # stub install in this image
+        pytest.skip("torchvision present but non-functional")
 
     from imgadapointr_tpu.datasets.pcn_dataset import _load_image
 
