@@ -115,6 +115,15 @@ class DataLoader:
                 if kind == "end":
                     break
                 if kind == "error":
+                    # torch DataLoader re-raises the worker's ORIGINAL
+                    # exception type (ExceptionWrapper.reraise), so callers
+                    # catching e.g. OSError for a corrupt shard still match;
+                    # the worker-side traceback rides along on __traceback__.
+                    # Non-Exception BaseExceptions (KeyboardInterrupt in a
+                    # worker) get wrapped so the consumer loop's contract
+                    # stays "Exception out of __iter__".
+                    if isinstance(item, Exception):
+                        raise item
                     raise RuntimeError(
                         "DataLoader worker failed while decoding a batch"
                     ) from item

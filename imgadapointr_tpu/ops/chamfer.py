@@ -27,6 +27,7 @@ generalisation: masked points contribute 0 to both directions.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -327,6 +328,24 @@ def _masked_mean(v: jax.Array, w: jax.Array | None) -> jax.Array:
     return jnp.sum(v * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
+def mxu_eval_chamfer_active(n: int, m: int) -> bool:
+    """True iff :func:`nn_distance_eval` takes the opt-in MXU selection
+    kernel for (N, M)-point clouds on the current backend — the single
+    source of truth for that gate. tools/runner.py's ``--test`` paths use
+    it to decide whether the eval suite's F-score carries the MXU
+    selection band (recompute exactly) or is the exact value (reuse —
+    skipping a second full O(N·M) pass). Read at trace time: shapes are
+    static under jit and the env flip would otherwise silently keep a
+    stale cached graph."""
+    return bool(
+        jax.default_backend() == "tpu"
+        and n * m >= 1 << 22
+        and n <= 1 << 18
+        and m <= 1 << 18
+        and os.environ.get("IMGADAPOINTR_ENABLE_MXU_EVAL_CHAMFER")
+    )
+
+
 def nn_distance_eval(x: jax.Array, y: jax.Array):
     """Bidirectional squared NN distances — **EVAL METRICS ONLY**.
 
@@ -355,17 +374,9 @@ def nn_distance_eval(x: jax.Array, y: jax.Array):
     Non-differentiable by design (stop_gradient on the inputs): metrics
     never need tangents and the Pallas kernels have no JVP rule.
     """
-    import os
-
     x = jax.lax.stop_gradient(x)
     y = jax.lax.stop_gradient(y)
-    if (
-        jax.default_backend() == "tpu"
-        and x.shape[1] * y.shape[1] >= 1 << 22
-        and x.shape[1] <= 1 << 18
-        and y.shape[1] <= 1 << 18
-        and os.environ.get("IMGADAPOINTR_ENABLE_MXU_EVAL_CHAMFER")
-    ):
+    if mxu_eval_chamfer_active(x.shape[1], y.shape[1]):
         from .pallas.nn_distance import nn_argmin_bidir_mxu
 
         i1, i2 = nn_argmin_bidir_mxu(x, y)

@@ -175,9 +175,18 @@ def build_opt_sched(config, steps_per_epoch: int, params, frozen_paths=()):
             lambda path, _: _frozen(path), params
         )
         tx = optax.chain(optax.masked(optax.set_to_zero(), frozen_mask), tx)
-    # gradient accumulation (reference step_per_update, runner.py:207-215)
+    # gradient accumulation (reference step_per_update, runner.py:207-215).
+    # The reference SUMS the k backward passes (loss.backward() k times,
+    # never rescaled), then clips/steps on the sum — optax.MultiSteps hands
+    # the inner chain the running MEAN instead, which would halve (at k=2)
+    # the clip engagement, the SGD step, and the grad-to-wd·p ratio of the
+    # coupled-L2 optimizers. Scale by k first so the chain sees the
+    # reference's summed gradient (k·mean == the sum, up to running-mean
+    # rounding).
     if k > 1:
-        tx = optax.MultiSteps(tx, every_k_schedule=k)
+        tx = optax.MultiSteps(
+            optax.chain(optax.scale(float(k)), tx), every_k_schedule=k
+        )
 
     bnm_epoch = build_bnm_schedule(config.get("bnmscheduler", None))
     return tx, lr_step, bnm_epoch

@@ -55,7 +55,7 @@ def _build(args):
         lambda k, x: spec.module.init({"params": k, "noise": k}, x, train=False)
     )(key, example)
     state = {"params": variables["params"], "batch_stats": variables.get("batch_stats", {})}
-    if args.model_checkpoint.endswith(".pth"):
+    if args.model_checkpoint.endswith((".pth", ".pt")):
         # reference torch checkpoints load directly, like main.py --test
         # --ckpts and the demo (shared converter dispatch)
         from .convert_torch import load_torch_checkpoint_into_state

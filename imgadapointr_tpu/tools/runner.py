@@ -37,15 +37,20 @@ from .builder import build_opt_sched, dataset_builder
 SHAPENET_DICT_PATH = os.path.join("cfgs", "shapenet_synset_dict.json")
 
 
-def _mxu_eval_chamfer_on() -> bool:
-    """True when the opt-in MXU eval-chamfer kernel is active
+def _mxu_eval_f_banded(n_pred: int, n_gt: int) -> bool:
+    """True when the eval suite's F-score for (n_pred, n_gt)-point clouds
+    was computed under the opt-in MXU eval-chamfer kernel
     (``IMGADAPOINTR_ENABLE_MXU_EVAL_CHAMFER`` — ops/chamfer.nn_distance_eval).
     Its ~1e-3 selection band is gated metric-safe for the CDs but would
     shift F@th threshold counting, so the --test steps only reuse the eval
-    suite's F on the default exact path. Read at trace time (the jit cache
-    key does not include env vars — flipping the env mid-process would
-    otherwise silently keep the old graph)."""
-    return bool(os.environ.get("IMGADAPOINTR_ENABLE_MXU_EVAL_CHAMFER"))
+    suite's F when the exact path actually ran. Delegates to the gate's
+    single source of truth (ops/chamfer.mxu_eval_chamfer_active) — the env
+    var alone is NOT enough: on CPU or below the 2^22-pair size gate the
+    exact path runs regardless, and recomputing F there would pay a second
+    identical O(N·M) pass per batch."""
+    from ..ops.chamfer import mxu_eval_chamfer_active
+
+    return mxu_eval_chamfer_active(n_pred, n_gt)
 
 
 class Runner:
@@ -314,7 +319,9 @@ class Runner:
             # default exact eval path: under the MXU eval-chamfer opt-in the
             # suite F carries a ~1e-3 selection band, so the reference-
             # protocol table keeps its own exact pass there.
-            f_value=None if _mxu_eval_chamfer_on() else vec[4],
+            f_value=None
+            if _mxu_eval_f_banded(dense.shape[1], batch["gt"].shape[1])
+            else vec[4],
         )
         return jnp.concatenate([vec, jnp.stack(vals)])
 
@@ -354,7 +361,9 @@ class Runner:
             # per_sample[:, 4] is the per-sample F of (dense, gt) already
             # computed by _eval_metrics_core's shared NN pass (exact-path
             # only — see _test_step)
-            f_values=None if _mxu_eval_chamfer_on() else per_sample[:, 4],
+            f_values=None
+            if _mxu_eval_f_banded(dense.shape[1], batch["gt"].shape[1])
+            else per_sample[:, 4],
         )
         return jnp.concatenate([per_sample, rows], axis=1)
 
@@ -734,7 +743,7 @@ def _test_shapenet55(runner, state, test_loader, args, config, logger=None):
         partials = partials.reshape(n_vp * B, 2048, 3)
         gt_rep = jnp.broadcast_to(gt[None], (n_vp,) + gt.shape)
         gt_rep = gt_rep.reshape(n_vp * B, *gt.shape[1:])
-        if _mxu_eval_chamfer_on():
+        if _mxu_eval_f_banded(int(config.model.num_points), gt_rep.shape[1]):
             # the suite F inherits the MXU selection band under the opt-in;
             # keep the test table's F exact, like the PCN _test_step paths
             from ..utils.metrics import f_score

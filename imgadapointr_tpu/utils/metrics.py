@@ -121,7 +121,7 @@ def compute_metrics(
     magnitude under th. CAVEAT: under the MXU eval-chamfer opt-in the
     suite's selection carries a ~1e-3 band that can flip hits at the
     threshold — callers must not plumb f_value in that regime (the runner
-    checks, tools/runner.py:_mxu_eval_chamfer_on).
+    checks, tools/runner.py:_mxu_eval_f_banded).
     """
     w_pred = _nonzero_mask(pred) if ignore_zeros else None
     w_gt = _nonzero_mask(gt) if ignore_zeros else None

@@ -561,14 +561,22 @@ def test_syn_train_len_flag_plumbs_to_config():
 
 def test_mxu_eval_optin_disables_f_plumbing(monkeypatch):
     """Under IMGADAPOINTR_ENABLE_MXU_EVAL_CHAMFER the --test steps must NOT
-    reuse the eval suite's F (its ~1e-3 selection band can flip F@th hits);
-    the guard is the trace-time env check the runner branches on."""
-    from imgadapointr_tpu.tools.runner import _mxu_eval_chamfer_on
+    reuse the eval suite's F (its ~1e-3 selection band can flip F@th hits).
+    The guard must mirror the FULL nn_distance_eval gate — env var AND
+    backend AND the 2^22-pair size floor — not just the env var: on CPU or
+    small clouds the exact path runs regardless, and recomputing F there
+    would be a redundant second O(N·M) pass."""
+    from imgadapointr_tpu.tools.runner import _mxu_eval_f_banded
 
-    monkeypatch.delenv("IMGADAPOINTR_ENABLE_MXU_EVAL_CHAMFER", raising=False)
-    assert not _mxu_eval_chamfer_on()
     monkeypatch.setenv("IMGADAPOINTR_ENABLE_MXU_EVAL_CHAMFER", "1")
-    assert _mxu_eval_chamfer_on()
+    if jax.default_backend() == "tpu":  # pragma: no cover — CPU CI
+        assert _mxu_eval_f_banded(16384, 16384)
+        assert not _mxu_eval_f_banded(512, 512)  # below the pair floor
+    else:
+        # exact path on CPU even with the env set -> F is reusable
+        assert not _mxu_eval_f_banded(16384, 16384)
+    monkeypatch.delenv("IMGADAPOINTR_ENABLE_MXU_EVAL_CHAMFER", raising=False)
+    assert not _mxu_eval_f_banded(16384, 16384)
 
 
 def test_nonzero_mask_signed_sum_parity():
@@ -631,13 +639,14 @@ class _ExplodingDataset:
 
 
 def test_loader_surfaces_worker_errors():
-    """A decode error must re-raise in the consumer (torch DataLoader
-    semantics), not silently truncate the epoch at that batch."""
+    """A decode error must re-raise in the consumer with its ORIGINAL type
+    (torch DataLoader ExceptionWrapper semantics — callers can catch e.g.
+    OSError for a corrupt shard), not silently truncate the epoch."""
     from imgadapointr_tpu.datasets.loader import DataLoader
 
     dl = DataLoader(_ExplodingDataset(), batch_size=2, shuffle=False,
                     drop_last=False, num_workers=2)
-    with pytest.raises(RuntimeError, match="DataLoader worker failed"):
+    with pytest.raises(OSError, match="corrupt sample 5"):
         for _ in dl:
             pass
 
@@ -819,8 +828,11 @@ def test_multisteps_schedule_advances_per_update_not_per_batch():
         updates, opt_state = tx.update(grads, opt_state, p)
         p = optax.apply_updates(p, updates)
     # update 1 at schedule count 0 (epoch 0, lr 1.0), update 2 at count 1
-    # (ONE update per epoch here -> epoch 1, lr 0.5); grads average to 1
-    want = -(1.0 + 0.5)
+    # (ONE update per epoch here -> epoch 1, lr 0.5); the k=2 mini-batch
+    # grads of ones SUM to 2 per update (reference runner.py:207-215 calls
+    # loss.backward() k times and never rescales — torch.optim.SGD then
+    # steps on the summed grad, NOT optax.MultiSteps' mean)
+    want = -(2.0 * 1.0 + 2.0 * 0.5)
     np.testing.assert_allclose(np.asarray(p["w"]), want, rtol=1e-6)
     # and the logging schedule stays batch-count based: 4 batches = 2 epochs
     np.testing.assert_allclose(float(lr_step(4)), base_lr * 0.25, rtol=1e-6)
