@@ -105,7 +105,7 @@ def _aggregate_neighbours(A_local, nbr_idx, x):
         and N * K >= 1 << 14
         and N <= 2048
         and C <= 256
-        and not os.environ.get("IMGADAPOINTR_DISABLE_PALLAS_GDM")
+        and not env_flag("IMGADAPOINTR_DISABLE_PALLAS_GDM")
     ):
         from ..ops.pallas.gather_sum import weighted_gather_sum_pallas
 

@@ -91,14 +91,20 @@ class GRNetModel(nn.Module):
         r64 = _DeconvBlock3D(1, name="dconv10")(r32, train, bn_momentum) + g64
 
         sparse = gridding_reverse(r64[..., 0], 64)  # (B, 64³, 3)
-        # Documented divergence: the reference's RandomPointSampling stays
-        # RANDOM at eval (models/external/GRNet.py:21-42 never seeds), so
-        # its eval tables jitter run to run; here eval sampling is pinned
-        # to PRNGKey(0) for reproducible metrics. Train-mode sampling is
+        # The reference's RandomPointSampling stays RANDOM at eval
+        # (models/external/GRNet.py:21-42 never seeds), so its eval tables
+        # jitter run to run. Default here is `eval_sampling: fixed`
+        # (PRNGKey(0) — reproducible metrics); set `eval_sampling: random`
+        # in the model config (and pass a 'noise' rng to apply) for
+        # reference-faithful eval randomness. Train-mode sampling is
         # random either way.
+        eval_random = (
+            str(cfg.get("eval_sampling", "fixed")) == "random"
+            and self.has_rng("noise")
+        )
         key = (
             self.make_rng("noise")
-            if train
+            if (train or eval_random)
             else jax.random.PRNGKey(0)  # deterministic eval sampling
         )
         sparse = random_point_sampling(key, sparse, partial, n_sparse)

@@ -31,6 +31,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+from ..utils.envflags import env_flag
 
 _TILE = 1024  # M-tile per scan step; peak temp = B*N*TILE floats.
 
@@ -190,7 +191,7 @@ def _nn_distance_impl(x, y, w1, w2, tile):
         and x.shape[1] * y.shape[1] >= 1 << 22
         and x.shape[1] <= 1 << 18
         and y.shape[1] <= 1 << 18
-        and not os.environ.get("IMGADAPOINTR_DISABLE_FUSED_CHAMFER")
+        and not env_flag("IMGADAPOINTR_DISABLE_FUSED_CHAMFER")
     ):
         # Fused bidirectional Pallas kernel: ONE diff-form pass over the
         # distance tiles yields BOTH argmins (1.7x the two one-direction
@@ -252,7 +253,7 @@ def _scatter_add_rows(n_rows: int, idx: jax.Array, vals: jax.Array) -> jax.Array
         jax.default_backend() == "tpu"
         and vals.dtype == jnp.float32
         and vals.shape[0] * vals.shape[1] >= 1 << 15
-        and not os.environ.get("IMGADAPOINTR_DISABLE_PALLAS_SCATTER")
+        and not env_flag("IMGADAPOINTR_DISABLE_PALLAS_SCATTER")
     ):
         # gate thresholds live with the kernel so dispatch and VMEM
         # budget can never drift apart
@@ -342,7 +343,7 @@ def mxu_eval_chamfer_active(n: int, m: int) -> bool:
         and n * m >= 1 << 22
         and n <= 1 << 18
         and m <= 1 << 18
-        and os.environ.get("IMGADAPOINTR_ENABLE_MXU_EVAL_CHAMFER")
+        and env_flag("IMGADAPOINTR_ENABLE_MXU_EVAL_CHAMFER")
     )
 
 

@@ -61,6 +61,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+from ..utils.envflags import env_flag
 
 _TILE = 2048  # items per inner scan step (XLA path); peak temp = N * _TILE
 
@@ -224,7 +225,7 @@ def _use_pallas_top2(x: jax.Array, y: jax.Array) -> bool:
         and N >= 1024
         and M >= 1024
         and N * M >= 1 << 22
-        and not os.environ.get("IMGADAPOINTR_DISABLE_PALLAS_EMD")
+        and not env_flag("IMGADAPOINTR_DISABLE_PALLAS_EMD")
     )
 
 

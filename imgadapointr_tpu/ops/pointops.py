@@ -105,7 +105,7 @@ def knn_with_distance(
         jax.default_backend() == "tpu"
         and nsample <= 64
         and xyz.shape[1] * new_xyz.shape[1] >= 1 << 16
-        and not os.environ.get("IMGADAPOINTR_DISABLE_PALLAS_KNN")
+        and not env_flag("IMGADAPOINTR_DISABLE_PALLAS_KNN")
     ):
         from .pallas.nn_distance import knn_pallas
 
@@ -257,7 +257,7 @@ def three_nn_interpolate(
         and known.shape[1] <= 4096
         and feats.shape[-1] <= 1024
         and 4 * Mp * (Cp + 8) <= 10 * 1024 * 1024
-        and not os.environ.get("IMGADAPOINTR_DISABLE_PALLAS_INTERP")
+        and not env_flag("IMGADAPOINTR_DISABLE_PALLAS_INTERP")
     ):
         return _three_nn_interpolate_fused(unknown, known, feats, eps)
     dist, idx = three_nn(unknown, known)

@@ -743,7 +743,11 @@ def _test_shapenet55(runner, state, test_loader, args, config, logger=None):
         partials = partials.reshape(n_vp * B, 2048, 3)
         gt_rep = jnp.broadcast_to(gt[None], (n_vp,) + gt.shape)
         gt_rep = gt_rep.reshape(n_vp * B, *gt.shape[1:])
-        if _mxu_eval_f_banded(int(config.model.num_points), gt_rep.shape[1]):
+        # model.num_points is optional (models/adapointr.py uses .get) —
+        # fall back to the gt size, which bounds the dense output the F
+        # gate cares about; the gate only needs the pair count's order.
+        n_pred_hint = config.model.get("num_points", None) or gt_rep.shape[1]
+        if _mxu_eval_f_banded(int(n_pred_hint), gt_rep.shape[1]):
             # the suite F inherits the MXU selection band under the opt-in;
             # keep the test table's F exact, like the PCN _test_step paths
             from ..utils.metrics import f_score

@@ -80,3 +80,34 @@ def test_grnet():
     sparse, dense = jax.jit(lambda v, x: spec.module.apply(v, x, train=False))(v, xyz)
     assert dense.shape == (1, 2048, 3)
     assert np.isfinite(np.asarray(dense)).all()
+
+
+def test_grnet_eval_sampling_knob():
+    """`eval_sampling: fixed` (default) gives run-to-run identical eval
+    outputs; `eval_sampling: random` + a 'noise' rng follows the
+    reference's unseeded eval RandomPointSampling
+    (models/external/GRNet.py:21-42). Without the rng, 'random' safely
+    falls back to the fixed key."""
+    base = {"NAME": "GRNet", "num_pred": 2048}
+    key = jax.random.PRNGKey(0)
+    xyz = jax.random.uniform(key, (1, 512, 3), minval=-0.9, maxval=0.9)
+
+    spec = build_model_spec(AttrDict(base))
+    v = jax.jit(
+        lambda k, x: spec.module.init({"params": k, "noise": k}, x, train=True)
+    )(key, xyz)
+
+    ev = jax.jit(lambda v, x: spec.module.apply(v, x, train=False)[1])
+    a, b = ev(v, xyz), ev(v, xyz)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    spec_r = build_model_spec(AttrDict(dict(base, eval_sampling="random")))
+    ev_r = jax.jit(
+        lambda v, x, k: spec_r.module.apply(v, x, train=False, rngs={"noise": k})[1]
+    )
+    r1 = ev_r(v, xyz, jax.random.PRNGKey(10))
+    r2 = ev_r(v, xyz, jax.random.PRNGKey(11))
+    assert not np.array_equal(np.asarray(r1), np.asarray(r2))
+    # no rng passed → falls back to the fixed key (no crash, deterministic)
+    f = jax.jit(lambda v, x: spec_r.module.apply(v, x, train=False)[1])(v, xyz)
+    np.testing.assert_array_equal(np.asarray(f), np.asarray(a))
