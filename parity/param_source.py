@@ -1,0 +1,276 @@
+"""Deterministic parameter / input / gradient sources shared by the parity
+harness (parity/run_parity*.py — offline, torch + reference available) and
+the CI golden tests (tests/test_*golden*.py — standalone, no reference).
+
+Round-4 golden compaction: instead of freezing 300+ MB of raw fp32
+parameter/gradient tensors in tests/goldens/, the compact goldens freeze
+per-block DIGESTS of the reference-side results and both sides REGENERATE
+the parameters/inputs from this module (PRNGKey-seeded flax init on the CPU
+backend — bit-deterministic for a fixed jax/flax version).  The harness
+loads the regenerated parameters into the reference torch model through an
+index-traced inverse of tools/convert_torch (parity/torch_load.py), so the
+frozen digests correspond exactly to the regenerated parameters.
+
+Must stay importable WITHOUT torch or /root/reference on sys.path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ---------------------------------------------------------------- inputs
+
+SEED_INPUTS = 1
+SEED_PARAMS = 11
+SEED_GRADS = 13
+
+# procedural-gradient global norm: just above the reference's clip threshold
+# (10.0, tools/runner.py:207-212) so the torch clip epsilon
+# ``max_norm/(norm+1e-6)`` leaves a ~1e-7 relative fingerprint on every
+# clipped update — far above the ~5e-10 fp64 cross-framework agreement
+# floor, so the optimizer digests can detect the epsilon drift class.
+GRAD_GLOBAL_NORM = 12.0
+
+
+def example_inputs(model_cfg, kind, batch=2, n_points=256):
+    """(inputs_jax: list, gt_jax) — deterministic PRNG-generated examples.
+
+    Layouts mirror parity/run_parity_grad.py: x (B, N, 3); img channel-LAST
+    (B, 224, 224, 3) on the jax side (the harness transposes to NCHW for
+    torch); cls one-hot class 3 of 16 (reference SegImgPCNDataset cls_vec).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(SEED_INPUTS)
+    kx, kg, ki = jax.random.split(key, 3)
+    x = jax.random.normal(kx, (batch, n_points, 3), jnp.float32)
+    n_gt = int(model_cfg.num_points)
+    gt = jax.random.normal(kg, (batch, n_gt, 3), jnp.float32) * 0.5
+    inputs = [x]
+    if kind in ("img", "imgsegdec"):
+        inputs.append(jax.random.normal(ki, (batch, 224, 224, 3), jnp.float32))
+    if kind in ("seg", "imgsegdec"):
+        cls = jnp.zeros((batch, 16), jnp.float32).at[:, 3].set(1.0)
+        inputs.append(cls)
+    return inputs, gt
+
+
+def _boost_query_ranking(params):
+    """×1000 on the scalar-out query_ranking kernel (same reason as the
+    harness's torch-side boost, run_parity.py:96-105: at small random init
+    the sigmoid ranking scores are all ~0.5 and top-k selection is pure
+    tie-breaking noise; boosting the final linear layer separates scores
+    without saturating the sigmoid)."""
+    import jax
+
+    def visit(path, leaf):
+        keys = [getattr(p, "key", str(p)) for p in path]
+        joined = "/".join(keys)
+        if (
+            "query_ranking" in joined
+            and keys[-1] == "kernel"
+            and leaf.ndim == 2
+            and leaf.shape[-1] == 1
+        ):
+            return leaf * 1000.0
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(visit, params)
+
+
+def init_variables(model_cfg, kind, batch=2, n_points=256, seed=SEED_PARAMS):
+    """(spec, variables) — the CANONICAL regenerable parameter source.
+
+    flax init (CPU, PRNGKey(seed)) + the query_ranking boost.  Both the
+    harness and CI call this; the golden's ``param_fingerprint`` guards the
+    correspondence (a flax-version init change fails loudly with a
+    regenerate-the-goldens message instead of silently passing).
+    """
+    import jax
+
+    from imgadapointr_tpu.models.build import build_model_spec
+
+    spec = build_model_spec(model_cfg)
+    inputs, _ = example_inputs(model_cfg, kind, batch, n_points)
+    key = jax.random.PRNGKey(seed)
+    variables = spec.module.init(
+        {"params": key, "noise": key, "dropout": key}, *inputs, train=False
+    )
+    variables = dict(variables)
+    variables["params"] = _boost_query_ranking(variables["params"])
+    return spec, variables
+
+
+def param_fingerprint(params) -> np.ndarray:
+    """Order-stable per-block l2 vector over the flattened param tree."""
+    flat = _flatten(params)
+    return np.asarray(
+        [float(np.linalg.norm(np.asarray(flat[k], np.float64))) for k in sorted(flat)],
+        np.float64,
+    )
+
+
+def _flatten(tree, prefix=()):
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_flatten(v, prefix + (k,)))
+        else:
+            out[prefix + (k,)] = v
+    return out
+
+
+def procedural_grads(params, zero_markers=(), seed=SEED_GRADS):
+    """A full deterministic gradient tree for the OPTIMIZER-semantics digest.
+
+    N(0,1) per leaf (path-keyed fold_in → order-independent), rescaled to
+    global norm GRAD_GLOBAL_NORM, then ZEROED on ``zero_markers`` subtrees
+    (frozen + DDP find_unused params: the reference's torch side sees
+    grad=None there and skips them entirely — builder.py masks match).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    flat = _flatten(params)
+    base = jax.random.PRNGKey(seed)
+    out = {}
+    sq = 0.0
+    for k in sorted(flat):
+        path = "/".join(k)
+        leaf = np.asarray(flat[k])
+        # stable across processes (Python's str hash is salted per run)
+        import zlib
+
+        kk = jax.random.fold_in(base, zlib.crc32(path.encode()) & 0x7FFFFFFF)
+        g = np.asarray(jax.random.normal(kk, leaf.shape, jnp.float32))
+        if any(m in path for m in zero_markers):
+            g = np.zeros_like(g)
+        out[k] = g
+        sq += float(np.sum(np.asarray(g, np.float64) ** 2))
+    scale = np.float32(GRAD_GLOBAL_NORM / np.sqrt(sq))
+    out = {k: v * scale for k, v in out.items()}
+    tree = {}
+    for path, v in out.items():
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = v
+    return tree
+
+
+# Params with ANALYTICALLY zero gradients: a conv bias feeding straight
+# into train-mode BatchNorm is exactly mean-subtracted away; a key-map bias
+# shifts every attention logit of a query equally and cancels in softmax.
+# Both autograds produce pure cancellation residue there (noise vs noise) —
+# excluded from gradient comparisons on both the harness and CI sides.
+ANALYTIC_ZERO_GRADS = ("increase_dim1/bias", "k_map/bias")
+
+# f32-reduction-noise-dominated gradient blocks, compared with a 20×
+# relaxed tolerance instead of being dropped (gross breaks still fail):
+# - frozen-GDANet FLOW-THROUGH blocks: pure diagnostics (the frozen subtree
+#   gets exactly-zero optimizer updates — separately asserted); their
+#   conv/BN bias grads are cancellation-dominated at f32 (deltas to ~6e-2),
+# - the ResNet trunk: conv backwards reduce over up-to-112²·B·49·C product
+#   chains and bs-1 train-mode BN is cancellation-heavy at random init
+#   (deltas to ~5e-2), likewise the BN bias right after the 16384-wide
+#   increase_dim reduction.
+# Semantics for ALL of these are proven at fp64: the --init ours --double
+# harness run passes ALL 373 imgsegdec blocks at worst 1.7e-9
+# (parity/PARITY.md); the relaxed f32 digests still catch gross breaks
+# (wrong stride/padding/fusion produce O(1) deltas).
+RELAXED_GRADS = ("segmentator/", "im_encoder/trunk/", "increase_dim_bn/")
+RELAXED_FACTOR = 20.0
+
+# SGD-momentum variant for the optimizer digests: SGD is LINEAR in the
+# grads, so the torch clip epsilon max_norm/(norm+1e-6) leaves a detectable
+# ~1e-7 relative fingerprint on every clipped update (first-step Adam is
+# scale-invariant — sign(g) — and cannot see clip-coefficient drift).
+# Shared verbatim by the harness's torch side and the CI test's optax side.
+SGD_VARIANT = {"lr": 0.05, "momentum": 0.9, "weight_decay": 0.01}
+
+
+def sgd_variant_config(config):
+    """The model config with its optimizer swapped for the SGD variant."""
+    from imgadapointr_tpu.utils.config import AttrDict
+
+    return AttrDict(
+        {
+            "optimizer": {"type": "SGD", "kwargs": dict(SGD_VARIANT)},
+            "scheduler": {"type": "StepLR",
+                          "kwargs": {"step_size": 1000, "gamma": 1.0}},
+            "grad_norm_clip": float(config.get("grad_norm_clip", 10.0)),
+            "max_epoch": 1,
+            "bnmscheduler": config.get("bnmscheduler", None),
+        }
+    )
+
+
+# ---------------------------------------------------------------- digests
+
+SAMPLE_K = 256
+
+
+def sample_indices(n: int, k: int = SAMPLE_K) -> np.ndarray:
+    """Deterministic strided sample over a flattened block (offset half a
+    stride in, so boundary elements aren't over-represented)."""
+    k = min(n, k)
+    stride = n // k
+    return np.arange(k, dtype=np.int64) * stride + stride // 2
+
+
+def digest_block(a: np.ndarray, k: int = SAMPLE_K):
+    """(maxabs f64, l2 f64, sample values) of one tensor block."""
+    flat = np.asarray(a).ravel()
+    f64 = flat.astype(np.float64)
+    idx = sample_indices(flat.size, k)
+    return (
+        float(np.abs(f64).max()) if f64.size else 0.0,
+        float(np.linalg.norm(f64)),
+        flat[idx],
+    )
+
+
+def write_digest_tree(golden: dict, tag: str, flat_tree: dict, dtype=np.float32):
+    """Add maxabs/l2/sample digests for every block of ``flat_tree``
+    (a {path-tuple: array} dict) under keys ``{tag}//{max|l2|smp}//path``."""
+    for k, v in flat_tree.items():
+        path = "/".join(k)
+        mx, l2, smp = digest_block(np.asarray(v))
+        golden[f"{tag}//max//{path}"] = np.asarray(mx, np.float64)
+        golden[f"{tag}//l2//{path}"] = np.asarray(l2, np.float64)
+        golden[f"{tag}//smp//{path}"] = np.asarray(smp, dtype)
+
+
+def read_digest_tree(data, tag: str):
+    """{path-str: (maxabs, l2, sample)} from a loaded compact golden."""
+    out = {}
+    pre = f"{tag}//max//"
+    for key in data.files:
+        if not key.startswith(pre):
+            continue
+        path = key[len(pre):]
+        out[path] = (
+            float(data[f"{tag}//max//{path}"]),
+            float(data[f"{tag}//l2//{path}"]),
+            np.asarray(data[f"{tag}//smp//{path}"]),
+        )
+    return out
+
+
+def compare_digest(path, ours: np.ndarray, ref_digest, scale: float):
+    """Max relative deviation of (sample, l2, maxabs) of OUR full block vs
+    the frozen reference digest, normalised by ``scale`` (the old full-
+    tensor tests' rule: scale = max(ref_maxabs, 1e-6·global_maxabs))."""
+    ref_mx, ref_l2, ref_smp = ref_digest
+    flat = np.asarray(ours).ravel()
+    idx = sample_indices(flat.size, len(ref_smp))
+    d_smp = float(
+        np.abs(flat[idx].astype(np.float64) - ref_smp.astype(np.float64)).max()
+    ) / scale if len(ref_smp) else 0.0
+    our_l2 = float(np.linalg.norm(flat.astype(np.float64)))
+    # l2 over n elements ~ sqrt(n)·rms — normalise per-element-ish by the
+    # same block scale so tolerances line up with the sample check
+    d_l2 = abs(our_l2 - ref_l2) / max(ref_l2, scale)
+    d_mx = abs(float(np.abs(flat).max() if flat.size else 0.0) - ref_mx) / scale
+    return max(d_smp, d_l2, d_mx)

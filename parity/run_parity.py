@@ -262,6 +262,10 @@ def main():
     ap.add_argument("--tol", type=float, default=None)
     ap.add_argument("--n-points", type=int, default=256)
     ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--init", choices=["torch", "ours"], default="torch",
+                    help="'ours': regenerable flax-init params + PRNG inputs "
+                    "(parity/param_source.py) — goldens then omit the raw "
+                    "parameter tensors (round-4 compaction)")
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
@@ -284,28 +288,39 @@ def main():
     model_cfg = config.model
 
     ref = build_reference_model(model_cfg, args.double, kind=args.model)
-    sd = torch_state_numpy(ref)
 
     import torch
 
-    g = torch.Generator().manual_seed(42)
-    dtype = torch.float64 if args.double else torch.float32
-    x_t = torch.randn(args.batch, args.n_points, 3, generator=g, dtype=dtype)
-    inputs_t = [x_t]
-    inputs_np = [x_t.numpy()]
-    if args.model in ("img", "imgsegdec"):
-        img_t = torch.randn(args.batch, 3, 224, 224, generator=g, dtype=dtype)
-        inputs_t.append(img_t)
-        # ours is channels-last
-        inputs_np.append(img_t.numpy().transpose(0, 2, 3, 1))
+    myvars = None
+    if args.init == "ours":
+        # round-4 compact-golden mode: params AND inputs from the
+        # regenerable deterministic source (parity/param_source.py)
+        from parity.torch_load import ours_init_setup
+
+        sd, inputs_t, inputs_np, _gt_t, myvars = ours_init_setup(
+            ref, model_cfg, args.model, args.batch, args.n_points, args.double
+        )
+    else:
+        sd = torch_state_numpy(ref)
+        g = torch.Generator().manual_seed(42)
+        dtype = torch.float64 if args.double else torch.float32
+        x_t = torch.randn(args.batch, args.n_points, 3, generator=g, dtype=dtype)
+        inputs_t = [x_t]
+        inputs_np = [x_t.numpy()]
+        if args.model in ("img", "imgsegdec"):
+            img_t = torch.randn(args.batch, 3, 224, 224, generator=g, dtype=dtype)
+            inputs_t.append(img_t)
+            # ours is channels-last
+            inputs_np.append(img_t.numpy().transpose(0, 2, 3, 1))
+        if args.model in ("seg", "imgsegdec"):
+            # torch signature is (xyz, img, cls_vec) — img is ignored by SegEnc
+            cls_t = torch.zeros(args.batch, 16, dtype=dtype)
+            cls_t[:, 3] = 1.0
+            if args.model == "seg":
+                inputs_t.append(torch.zeros(args.batch, 1, dtype=dtype))
+            inputs_t.append(cls_t)
+            inputs_np.append(cls_t.numpy())
     if args.model in ("seg", "imgsegdec"):
-        # torch signature is (xyz, img, cls_vec) — img is ignored by SegEnc
-        cls_t = torch.zeros(args.batch, 16, dtype=dtype)
-        cls_t[:, 3] = 1.0
-        if args.model == "seg":
-            inputs_t.append(torch.zeros(args.batch, 1, dtype=dtype))
-        inputs_t.append(cls_t)
-        inputs_np.append(cls_t.numpy())
         # the torch GDANet defaults to device='cuda' for its arange/eye calls
         ref.base_model.segmentator.device = "cpu"
         # eigenvector SIGNS are solver-convention-dependent (pytorch3d runs
@@ -327,6 +342,15 @@ def main():
     spec, variables = convert_and_merge(
         sd, model_cfg, inputs_j, args.double, kind=args.model
     )
+    if myvars is not None:
+        fa = flatten(to_plain(variables["params"]))
+        fb = flatten(to_plain(myvars["params"]))
+        assert set(fa) == set(fb)
+        for k in fa:
+            assert np.abs(
+                np.asarray(fa[k], np.float64) - np.asarray(fb[k], np.float64)
+            ).max() == 0.0, f"init loop drift {'/'.join(k)}"
+        print(f"init loop check: flax→torch→flax bit-exact ({len(fa)} blocks)")
 
     print(f"== eval-mode parity ({'fp64' if args.double else 'fp32'}, tol {tol:g}) ==")
     ret_t, acts_t = run_reference(ref, inputs_t, train=False)
@@ -434,12 +458,22 @@ def main():
     worst = max(report, key=lambda r: r[1])
     print(f"worst stage: {worst[0]} rel-delta {worst[1]:.3e}")
     if args.golden and ok:
-        flatp = flatten(to_plain(variables["params"]))
-        for k, v in flatp.items():
-            golden["param//" + "/".join(k)] = np.asarray(v, np.float32)
-        flatbs = flatten(to_plain(variables["batch_stats"]))
-        for k, v in flatbs.items():
-            golden["stats//" + "/".join(k)] = np.asarray(v, np.float32)
+        if args.init == "ours":
+            # compact: CI regenerates params/inputs from param_source; the
+            # fingerprint guards the correspondence
+            from parity.param_source import param_fingerprint
+
+            golden["format"] = np.asarray("compact-v1")
+            golden["batch"] = np.asarray(args.batch)
+            golden["n_points"] = np.asarray(args.n_points)
+            golden["param_fingerprint"] = param_fingerprint(variables["params"])
+        else:
+            flatp = flatten(to_plain(variables["params"]))
+            for k, v in flatp.items():
+                golden["param//" + "/".join(k)] = np.asarray(v, np.float32)
+            flatbs = flatten(to_plain(variables["batch_stats"]))
+            for k, v in flatbs.items():
+                golden["stats//" + "/".join(k)] = np.asarray(v, np.float32)
         os.makedirs(os.path.dirname(args.golden), exist_ok=True)
         np.savez_compressed(args.golden, **golden)
         print(f"golden written: {args.golden} ({len(golden)} arrays)")

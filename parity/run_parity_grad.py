@@ -98,7 +98,8 @@ def build_reference_optimizer(ref, config):
     return mod.build_optimizer(wrapper, config)
 
 
-def compare_tree(name, tree_t, tree_j, tol, report, zero_markers=(), floor_frac=1e-6):
+def compare_tree(name, tree_t, tree_j, tol, report, zero_markers=(), floor_frac=1e-6,
+                 exclude=(), relaxed=(), relaxed_factor=1.0):
     """Per-leaf comparison of two nested dicts; returns overall ok flag.
 
     Per-leaf deltas are taken relative to max(leaf magnitude, 1e-6 × global
@@ -128,6 +129,8 @@ def compare_tree(name, tree_t, tree_j, tol, report, zero_markers=(), floor_frac=
         a, b = np.asarray(flat_t[k]), np.asarray(flat_j[k])
         assert a.shape == b.shape, f"{name}/{k}: {a.shape} vs {b.shape}"
         path = "/".join(k)
+        if any(m in path for m in exclude):
+            continue  # analytic-zero grads: noise vs noise on both sides
         if any(m in path for m in zero_markers):
             # invariant: BOTH sides must be exactly zero
             if np.abs(a).max() != 0.0 or np.abs(b).max() != 0.0:
@@ -140,7 +143,8 @@ def compare_tree(name, tree_t, tree_j, tol, report, zero_markers=(), floor_frac=
         delta = np.abs(a - b).max() / scale
         if delta > worst[1]:
             worst = (path, delta)
-        if delta >= tol:
+        leaf_tol = tol * (relaxed_factor if any(m in path for m in relaxed) else 1.0)
+        if delta >= leaf_tol:
             print(f"  [FAIL] {name}/{path:60s} rel-delta {delta:.3e}")
             ok = False
     report.append((name, worst[1]))
@@ -148,6 +152,77 @@ def compare_tree(name, tree_t, tree_j, tol, report, zero_markers=(), floor_frac=
           f"({n_zero} zero-grad-invariant), worst {worst[0]} "
           f"rel-delta {worst[1]:.3e}")
     return ok
+
+
+def _optimizer_digest_updates(args, config, model_cfg, spec, variables,
+                              opt_kind: str):
+    """fp64 reference-side optimizer updates on PROCEDURAL grads.
+
+    A fresh torch reference model gets our regenerated params (traced
+    inverse), fp64, the shared procedural gradient tree (param_source —
+    global norm 12 so clip-10 engages), grad=None on the frozen/find_unused
+    subtrees (reference runner.py:55-66 + DDP find_unused semantics), then
+    clip + ONE step of either the model config's optimizer (reference
+    builder) or the SGD-momentum variant (torch.optim.SGD directly — the
+    reference builder passes kwargs straight through, builder.py:57-58).
+    Returns the flat flax-layout update tree (new − old params) in f64.
+    """
+    import jax
+    import torch
+
+    from parity.param_source import procedural_grads, sgd_variant_config
+    from parity.torch_load import load_flax_into_torch
+
+    zero_markers = tuple(ZERO_GRAD_MARKERS) + tuple(spec.frozen_paths)
+    pg = procedural_grads(variables["params"], zero_markers=zero_markers)
+
+    ref2 = build_reference_model(model_cfg, True, kind=args.model)
+    sd_t = torch_state_numpy(ref2)
+    sd_new = load_flax_into_torch(variables, sd_t, model_cfg, args.model)
+    ref2.load_state_dict({k: torch.tensor(v) for k, v in sd_new.items()})
+    # ZERO template for the gradient mapping: torch params the converter
+    # never covers (the dead encoder norm, …) must read as grad=None below
+    # — with the param state dict as template their WEIGHTS leaked in as
+    # fake gradients and inflated the clip norm
+    gsd = load_flax_into_torch(
+        {"params": pg, "batch_stats": variables["batch_stats"]},
+        {k: np.zeros_like(np.asarray(v)) for k, v in sd_t.items()},
+        model_cfg, args.model,
+    )
+    if args.model in ("seg", "imgsegdec"):
+        for p in ref2.base_model.segmentator.parameters():
+            p.grad = None
+            p.requires_grad_(False)
+    for k, p in ref2.named_parameters():
+        g = np.asarray(gsd[k])
+        if (
+            not p.requires_grad
+            or any(m in k for m in zero_markers)
+            or not np.abs(g).any()  # uncovered / marker ⇒ reference grad=None
+        ):
+            p.grad = None
+        else:
+            p.grad = torch.tensor(g, dtype=torch.float64)
+    before = torch_state_numpy(ref2)
+    clip = float(config.get("grad_norm_clip", 10.0))
+    torch.nn.utils.clip_grad_norm_(ref2.parameters(), clip)
+    if opt_kind == "sgd":
+        sv = sgd_variant_config(config).optimizer.kwargs
+        opt = torch.optim.SGD(
+            [p for p in ref2.parameters() if p.requires_grad],
+            lr=float(sv.lr), momentum=float(sv.momentum),
+            weight_decay=float(sv.weight_decay),
+        )
+    else:
+        opt = build_reference_optimizer(ref2, config)
+    opt.step()
+    t0, _ = _convert_tree(before, model_cfg, args.model)
+    t1, _ = _convert_tree(torch_state_numpy(ref2), model_cfg, args.model)
+    upd = jax.tree.map(
+        lambda a, b: np.asarray(a, np.float64) - np.asarray(b, np.float64),
+        to_plain(t1), to_plain(t0),
+    )
+    return flatten(upd)
 
 
 def main():
@@ -166,7 +241,23 @@ def main():
     ap.add_argument("--tol", type=float, default=None)
     ap.add_argument("--n-points", type=int, default=256)
     ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--init", choices=["torch", "ours"], default="torch",
+                    help="'ours': regenerable flax-init params + PRNG inputs "
+                    "(parity/param_source.py) loaded into torch via the "
+                    "traced converter inverse — required for --compact")
+    ap.add_argument("--compact", action="store_true",
+                    help="write the round-4 digest golden format (<1 MB) "
+                    "instead of raw tensors; implies nothing is stored that "
+                    "CI cannot regenerate")
     args = ap.parse_args()
+    if args.compact and args.init != "ours":
+        ap.error("--compact requires --init ours")
+    if args.compact and args.double:
+        # under x64 the flax init would produce f64 params — CI regenerates
+        # at f32, so the fingerprint would never match; the fp64 optimizer
+        # digests are computed in f64 regardless of this flag
+        ap.error("--compact is f32-side only (fp64 validation stays a "
+                 "separate --double run)")
 
     os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
     import jax
@@ -185,30 +276,42 @@ def main():
     model_cfg = config.model
 
     ref = build_reference_model(model_cfg, args.double, kind=args.model)
-    sd = torch_state_numpy(ref)
 
     import torch
 
-    g = torch.Generator().manual_seed(42)
-    dtype = torch.float64 if args.double else torch.float32
-    x_t = torch.randn(args.batch, args.n_points, 3, generator=g, dtype=dtype)
-    n_gt = int(model_cfg.num_points)
-    gt_t = torch.randn(args.batch, n_gt, 3, generator=g, dtype=dtype) * 0.5
-    inputs_t = [x_t]
-    inputs_np = [x_t.numpy()]
-    if args.model in ("img", "imgsegdec"):
-        img_t = torch.randn(args.batch, 3, 224, 224, generator=g, dtype=dtype)
-        inputs_t.append(img_t)
-        inputs_np.append(img_t.numpy().transpose(0, 2, 3, 1))
+    myvars = None
+    if args.init == "ours":
+        # round-4 compact-golden mode: parameters AND inputs come from the
+        # regenerable deterministic source (parity/param_source.py); the
+        # torch model is overwritten through the traced converter inverse
+        from parity.torch_load import ours_init_setup
+
+        sd, inputs_t, inputs_np, gt_t, myvars = ours_init_setup(
+            ref, model_cfg, args.model, args.batch, args.n_points, args.double
+        )
+    else:
+        sd = torch_state_numpy(ref)
+        g = torch.Generator().manual_seed(42)
+        dtype = torch.float64 if args.double else torch.float32
+        x_t = torch.randn(args.batch, args.n_points, 3, generator=g, dtype=dtype)
+        n_gt = int(model_cfg.num_points)
+        gt_t = torch.randn(args.batch, n_gt, 3, generator=g, dtype=dtype) * 0.5
+        inputs_t = [x_t]
+        inputs_np = [x_t.numpy()]
+        if args.model in ("img", "imgsegdec"):
+            img_t = torch.randn(args.batch, 3, 224, 224, generator=g, dtype=dtype)
+            inputs_t.append(img_t)
+            inputs_np.append(img_t.numpy().transpose(0, 2, 3, 1))
+        if args.model in ("seg", "imgsegdec"):
+            # torch signature is (xyz, img, cls_vec) — img ignored by SegEnc
+            cls_t = torch.zeros(args.batch, 16, dtype=dtype)
+            cls_t[:, 3] = 1.0
+            if args.model == "seg":
+                inputs_t.append(torch.zeros(args.batch, 1, dtype=dtype))
+            inputs_t.append(cls_t)
+            inputs_np.append(cls_t.numpy())
     captured_norm = {}
     if args.model in ("seg", "imgsegdec"):
-        # torch signature is (xyz, img, cls_vec) — img is ignored by SegEnc
-        cls_t = torch.zeros(args.batch, 16, dtype=dtype)
-        cls_t[:, 3] = 1.0
-        if args.model == "seg":
-            inputs_t.append(torch.zeros(args.batch, 1, dtype=dtype))
-        inputs_t.append(cls_t)
-        inputs_np.append(cls_t.numpy())
         ref.base_model.segmentator.device = "cpu"
 
         def grab_norm(mod, inp):
@@ -223,6 +326,19 @@ def main():
     spec, variables = convert_and_merge(
         sd, model_cfg, inputs_j, args.double, kind=args.model
     )
+    if myvars is not None:
+        # closed-loop check: flax init → traced inverse → torch state dict
+        # → forward converter must reproduce our init BIT-EXACTLY (so the
+        # digests frozen below correspond to what CI regenerates)
+        a = flatten(to_plain(variables["params"]))
+        b = flatten(to_plain(myvars["params"]))
+        assert set(a) == set(b)
+        for k in a:
+            av = np.asarray(a[k], np.float64)
+            bv = np.asarray(b[k], np.float64)
+            assert np.abs(av - bv).max() == 0.0, f"init loop drift {'/'.join(k)}"
+        print("init loop check: flax→torch→flax bit-exact "
+              f"({len(a)} param blocks)")
 
     # deterministic denoise branch on both sides (as run_parity --train)
     from utils import misc as ref_misc  # reference
@@ -319,92 +435,149 @@ def main():
 
     print("== gradient parity (torch autograd vs jax.grad) ==")
     grad_tree, _ = _convert_tree(grads_sd, model_cfg, args.model)
+    from parity.param_source import ANALYTIC_ZERO_GRADS
+
+    from parity.param_source import RELAXED_FACTOR, RELAXED_GRADS
+
     ok &= compare_tree(
-        "grads", grad_tree, grads_j, tol, report, zero_markers=ZERO_GRAD_MARKERS
+        "grads", grad_tree, grads_j, tol, report, zero_markers=ZERO_GRAD_MARKERS,
+        exclude=ANALYTIC_ZERO_GRADS,
+        relaxed=RELAXED_GRADS if not args.double else (),
+        relaxed_factor=RELAXED_FACTOR,
     )
 
     print("== BN running-stat update parity (momentum scheduler engaged) ==")
     bs_tree, stats_after_t = _convert_tree(bs_after_t, model_cfg, args.model)
     ok &= compare_tree("batch_stats", stats_after_t, new_bs_j, tol, report)
 
-    print("== one AdamW step (reference add_weight_decay masking + clip 10) ==")
-    if args.model in ("seg", "imgsegdec"):
-        # reference freezing (runner.py:55-66): requires_grad=False BEFORE the
-        # optimizer is built (add_weight_decay skips frozen params entirely)
-        # and grad=None so clip_grad_norm_ excludes them from the global norm
-        for p in ref.base_model.segmentator.parameters():
-            p.grad = None
-            p.requires_grad_(False)
-    opt = build_reference_optimizer(ref, config)
-    torch.nn.utils.clip_grad_norm_(ref.parameters(), 10.0)
-    opt.step()
-    new_sd = torch_state_numpy(ref)
-    new_param_tree_t, _ = _convert_tree(new_sd, model_cfg, args.model)
+    if args.compact:
+        # SKIPPED in compact mode: the f32 model-grad-driven update
+        # comparison is superseded by the fp64 procedural-grad optimizer
+        # digests written below — first-step Adam is g/(|g|+ε) per
+        # element, which amplifies f32 forward noise unboundedly on
+        # tiny-|g| elements (at flax-init weights that noise exceeds any
+        # useful tolerance; the old torch-init golden hit the same wall,
+        # which is why the full-tensor test drove it from frozen grads).
+        print("== (f32 update section skipped: compact mode uses fp64 "
+              "procedural optimizer digests) ==")
+    else:
+        print("== one AdamW step (reference add_weight_decay masking + clip 10) ==")
+        if args.model in ("seg", "imgsegdec"):
+            # reference freezing (runner.py:55-66): requires_grad=False BEFORE the
+            # optimizer is built (add_weight_decay skips frozen params entirely)
+            # and grad=None so clip_grad_norm_ excludes them from the global norm
+            for p in ref.base_model.segmentator.parameters():
+                p.grad = None
+                p.requires_grad_(False)
+        opt = build_reference_optimizer(ref, config)
+        torch.nn.utils.clip_grad_norm_(ref.parameters(), 10.0)
+        opt.step()
+        new_sd = torch_state_numpy(ref)
+        new_param_tree_t, _ = _convert_tree(new_sd, model_cfg, args.model)
 
-    from imgadapointr_tpu.tools.builder import build_opt_sched
+        from imgadapointr_tpu.tools.builder import build_opt_sched
 
-    tx, _, _ = build_opt_sched(
-        config, 1, variables["params"], frozen_paths=tuple(spec.frozen_paths)
-    )
-    opt_state = tx.init(variables["params"])
-    import optax
+        tx, _, _ = build_opt_sched(
+            config, 1, variables["params"], frozen_paths=tuple(spec.frozen_paths)
+        )
+        opt_state = tx.init(variables["params"])
+        import optax
 
-    updates, _ = tx.update(grads_j, opt_state, variables["params"])
-    new_params_j = optax.apply_updates(variables["params"], updates)
-    # compare UPDATES, not params: lr≈1e-4 updates sit ~4 orders below the
-    # weights, a per-param comparison would hide real drift under the weight
-    # magnitude
-    upd_t = jax.tree.map(
-        lambda new, old: np.asarray(new) - np.asarray(old),
-        new_param_tree_t, to_plain(variables["params"]),
-    )
-    upd_j = jax.tree.map(
-        lambda new, old: np.asarray(new) - np.asarray(old),
-        to_plain(jax.device_get(new_params_j)), to_plain(variables["params"]),
-    )
-    # Params with ANALYTICALLY zero gradients (a conv bias absorbed by the
-    # following train-mode BatchNorm's mean subtraction, key-projection
-    # biases cancelled by softmax) get updates of lr·noise/(√noise²+ε) —
-    # pure autograd-residue amplification, incomparable across frameworks.
-    # Detect them from the torch grads and check only that both sides'
-    # updates are immaterial (<1e-3 of the max update).
-    flat_g = flatten(to_plain(grad_tree))
-    g_global = max(float(np.abs(np.asarray(v)).max()) for v in flat_g.values())
-    analytic_zero = {
-        "/".join(k)
-        for k, v in flat_g.items()
-        if float(np.abs(np.asarray(v)).max()) < 1e-9 * g_global
-        and not any(m in "/".join(k) for m in ZERO_GRAD_MARKERS)
-    }
-    print(f"  analytic-zero-grad params (magnitude-only update check): "
-          f"{sorted(analytic_zero)}")
-    flat_ut = flatten(to_plain(upd_t))
-    flat_uj = flatten(to_plain(upd_j))
-    u_global = max(float(np.abs(np.asarray(v)).max()) for v in flat_ut.values())
-    for k in list(flat_ut):
-        if "/".join(k) in analytic_zero:
-            ut = np.asarray(flat_ut.pop(k))
-            uj = np.asarray(flat_uj.pop(k))
-            a, b = float(np.abs(ut).max()), float(np.abs(uj).max())
-            if a <= 1e-3 * u_global and b <= 1e-3 * u_global:
-                continue  # noise-floor update on both sides (undecayed bias)
-            # a DECAYED kernel with analytic-zero grad: the update is pure
-            # decoupled weight decay −lr·wd·w plus a ~g/ε Adam residue —
-            # deterministic, so it must match directly across frameworks
-            if float(np.abs(ut - uj).max()) > 1e-3 * max(a, b):
-                print(f"  [FAIL] adamw.update/{'/'.join(k)}: zero-grad decay "
-                      f"update differs (torch {a:.2e} jax {b:.2e}, "
-                      f"delta {float(np.abs(ut - uj).max()):.2e})")
-                ok = False
-    # frozen subtrees must see EXACTLY zero update on both sides (reference:
-    # excluded from the optimizer; ours: optax frozen mask)
-    update_zero_markers = ZERO_GRAD_MARKERS + tuple(spec.frozen_paths)
-    ok &= compare_tree(
-        "adamw.update", unflatten(flat_ut), unflatten(flat_uj), tol, report,
-        zero_markers=update_zero_markers, floor_frac=1e-4,
-    )
+        updates, _ = tx.update(grads_j, opt_state, variables["params"])
+        new_params_j = optax.apply_updates(variables["params"], updates)
+        # compare UPDATES, not params: lr≈1e-4 updates sit ~4 orders below the
+        # weights, a per-param comparison would hide real drift under the weight
+        # magnitude
+        upd_t = jax.tree.map(
+            lambda new, old: np.asarray(new) - np.asarray(old),
+            new_param_tree_t, to_plain(variables["params"]),
+        )
+        upd_j = jax.tree.map(
+            lambda new, old: np.asarray(new) - np.asarray(old),
+            to_plain(jax.device_get(new_params_j)), to_plain(variables["params"]),
+        )
+        # Params with ANALYTICALLY zero gradients (a conv bias absorbed by the
+        # following train-mode BatchNorm's mean subtraction, key-projection
+        # biases cancelled by softmax) get updates of lr·noise/(√noise²+ε) —
+        # pure autograd-residue amplification, incomparable across frameworks.
+        # Detect them from the torch grads and check only that both sides'
+        # updates are immaterial (<1e-3 of the max update).
+        flat_g = flatten(to_plain(grad_tree))
+        g_global = max(float(np.abs(np.asarray(v)).max()) for v in flat_g.values())
+        analytic_zero = {
+            "/".join(k)
+            for k, v in flat_g.items()
+            if float(np.abs(np.asarray(v)).max()) < 1e-9 * g_global
+            and not any(m in "/".join(k) for m in ZERO_GRAD_MARKERS)
+        }
+        print(f"  analytic-zero-grad params (magnitude-only update check): "
+              f"{sorted(analytic_zero)}")
+        flat_ut = flatten(to_plain(upd_t))
+        flat_uj = flatten(to_plain(upd_j))
+        u_global = max(float(np.abs(np.asarray(v)).max()) for v in flat_ut.values())
+        for k in list(flat_ut):
+            if "/".join(k) in analytic_zero:
+                ut = np.asarray(flat_ut.pop(k))
+                uj = np.asarray(flat_uj.pop(k))
+                a, b = float(np.abs(ut).max()), float(np.abs(uj).max())
+                if a <= 1e-3 * u_global and b <= 1e-3 * u_global:
+                    continue  # noise-floor update on both sides (undecayed bias)
+                # a DECAYED kernel with analytic-zero grad: the update is pure
+                # decoupled weight decay −lr·wd·w plus a ~g/ε Adam residue —
+                # deterministic, so it must match directly across frameworks
+                if float(np.abs(ut - uj).max()) > 1e-3 * max(a, b):
+                    print(f"  [FAIL] adamw.update/{'/'.join(k)}: zero-grad decay "
+                          f"update differs (torch {a:.2e} jax {b:.2e}, "
+                          f"delta {float(np.abs(ut - uj).max()):.2e})")
+                    ok = False
+        # frozen subtrees must see EXACTLY zero update on both sides (reference:
+        # excluded from the optimizer; ours: optax frozen mask)
+        update_zero_markers = ZERO_GRAD_MARKERS + tuple(spec.frozen_paths)
+        ok &= compare_tree(
+            "adamw.update", unflatten(flat_ut), unflatten(flat_uj), tol, report,
+            zero_markers=update_zero_markers, floor_frac=1e-4,
+        )
 
-    if args.golden and ok:
+    if args.golden and ok and args.compact:
+        # round-4 compact digest golden: nothing stored that CI cannot
+        # regenerate (params/inputs from parity/param_source.py), reference
+        # results frozen as per-block maxabs/l2/strided-sample digests
+        from parity.param_source import (
+            param_fingerprint,
+            write_digest_tree,
+        )
+
+        golden = {
+            "format": np.asarray("compact-v1"),
+            "epoch": np.asarray(args.epoch),
+            "batch": np.asarray(args.batch),
+            "n_points": np.asarray(args.n_points),
+            "loss_sparse": np.asarray(float(sparse_t)),
+            "loss_dense": np.asarray(float(dense_t)),
+            "bn_momentum": np.asarray(bnm_torch),
+            "param_fingerprint": param_fingerprint(variables["params"]),
+        }
+        if args.model in ("seg", "imgsegdec"):
+            # reference normals: CI re-derives with live normals sign-aligned
+            # to these (exactly as the jax side of this harness did)
+            golden["norm_ref"] = captured_norm["norm"].astype(np.float32)
+        write_digest_tree(golden, "gdig", flatten(to_plain(grad_tree)))
+        for k, v in flatten(to_plain(stats_after_t)).items():
+            golden["newstats//" + "/".join(k)] = np.asarray(v, np.float32)
+        print("== fp64 optimizer digests on procedural grads ==")
+        for opt_kind in ("model", "sgd"):
+            upd_flat = _optimizer_digest_updates(
+                args, config, model_cfg, spec, variables, opt_kind
+            )
+            write_digest_tree(golden, f"odig_{opt_kind}", upd_flat,
+                              dtype=np.float64)
+            print(f"  {opt_kind}: {len(upd_flat)} blocks digested")
+        os.makedirs(os.path.dirname(args.golden), exist_ok=True)
+        np.savez_compressed(args.golden, **golden)
+        sz = os.path.getsize(args.golden) / 1e6
+        print(f"compact golden written: {args.golden} "
+              f"({len(golden)} arrays, {sz:.2f} MB)")
+    elif args.golden and ok:
         golden = {
             "input": inputs_np[0].astype(np.float32),
             "gt": gt_t.numpy().astype(np.float32),

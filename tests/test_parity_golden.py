@@ -1,14 +1,19 @@
-"""Frozen activation-parity goldens vs the reference torch implementation.
+"""Frozen activation-parity golden (COMPACT) vs the reference torch model.
 
-tests/goldens/adapointr_tiny.npz was produced by parity/run_parity.py: the
-reference AdaPoinTr (models/external/AdaPoinTr.py, CPU torch, fixed seed)
-was run on a fixed input; its converted weights and its outputs are frozen
-here. This test re-runs OUR flax model from those weights and asserts the
+tests/goldens/adapointr_tiny.npz was produced by ``parity/run_parity.py
+--init ours --train``: parameters come from OUR deterministic flax init
+(parity/param_source.py), loaded into the reference AdaPoinTr
+(models/external/AdaPoinTr.py, CPU torch) through the traced converter
+inverse; its per-stage outputs are frozen here.  This test REGENERATES the
+parameters (guarded by the golden's param_fingerprint) and asserts our
 outputs still match — any semantic drift (GELU flavor, tie-breaks, norm
 placement, layout) fails it without needing torch or /root/reference.
 
-The fp64 harness run proved bit-level parity (<=3e-15 per stage, eval and
-train); this f32 CI check uses tolerances covering f32 accumulation only.
+The fp64 harness run at the SAME flax-init weights proves bit-level parity
+(worst stage 2.8e-15, eval and train); this f32 CI check uses a 5e-3
+tolerance covering f32 accumulation only (flax-init activations run at
+unit variance, noisier than the reference's trunc_normal(0.02) init —
+measured worst stage 4.1e-3 at decoder.q).
 """
 
 import os
@@ -18,6 +23,10 @@ import numpy as np
 import pytest
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "goldens", "adapointr_tiny.npz")
+CONFIG = os.path.join(
+    os.path.dirname(__file__), "..", "cfgs", "PCN_models", "AdaPoinTr-tiny.yaml"
+)
+TOL = 5e-3
 
 
 @pytest.fixture(scope="module")
@@ -25,29 +34,24 @@ def golden_env():
     if not os.path.exists(GOLDEN):
         pytest.skip("golden npz missing")
     data = np.load(GOLDEN)
-
-    from imgadapointr_tpu.models.build import build_model_spec
-    from imgadapointr_tpu.utils.config import cfg_from_yaml_file
-
-    config = cfg_from_yaml_file(
-        os.path.join(os.path.dirname(__file__), "..", "cfgs", "PCN_models",
-                     "AdaPoinTr-tiny.yaml")
+    assert "format" in data.files and str(data["format"]) == "compact-v1", (
+        "not a compact golden — regenerate with parity/run_parity.py "
+        "--init ours --train --tol 5e-3 --golden tests/goldens/adapointr_tiny.npz"
     )
-    spec = build_model_spec(config.model)
 
-    params, stats = {}, {}
-    for key in data.files:
-        if key.startswith("param//"):
-            tree, path = params, key[len("param//"):].split("/")
-        elif key.startswith("stats//"):
-            tree, path = stats, key[len("stats//"):].split("/")
-        else:
-            continue
-        node = tree
-        for p in path[:-1]:
-            node = node.setdefault(p, {})
-        node[path[-1]] = jax.numpy.asarray(data[key])
-    variables = {"params": params, "batch_stats": stats}
+    from imgadapointr_tpu.utils.config import cfg_from_yaml_file
+    from parity.param_source import init_variables, param_fingerprint
+
+    config = cfg_from_yaml_file(CONFIG)
+    spec, variables = init_variables(
+        config.model, "adapointr",
+        batch=int(data["batch"]), n_points=int(data["n_points"]),
+    )
+    fp = param_fingerprint(variables["params"])
+    assert np.array_equal(fp, np.asarray(data["param_fingerprint"])), (
+        "regenerated flax init no longer matches this golden — regenerate it "
+        "(see parity/PARITY.md, round-4 compact goldens)"
+    )
     return spec, variables, data
 
 
@@ -59,8 +63,8 @@ def test_eval_outputs_match_reference(golden_env):
     spec, variables, data = golden_env
     x = jax.numpy.asarray(data["input"])
     coarse, fine = spec.module.apply(variables, x, train=False)
-    assert _rel(coarse, data["ret_coarse"]) < 5e-4
-    assert _rel(fine, data["ret_fine"]) < 5e-4
+    assert _rel(coarse, data["ret_coarse"]) < TOL
+    assert _rel(fine, data["ret_fine"]) < TOL
 
 
 def test_eval_stages_match_reference(golden_env):
@@ -72,10 +76,10 @@ def test_eval_stages_match_reference(golden_env):
     )
     bm = mods["intermediates"]["base_model"]
     _, f = bm["grouper"]["__call__"][0]
-    assert _rel(f, data["stage_grouper_f"]) < 5e-4
-    assert _rel(bm["encoder"]["__call__"][0], data["stage_encoder"]) < 5e-4
+    assert _rel(f, data["stage_grouper_f"]) < TOL
+    assert _rel(bm["encoder"]["__call__"][0], data["stage_encoder"]) < TOL
     q, _, _ = bm["__call__"][0]
-    assert _rel(q, data["stage_q"]) < 5e-4
+    assert _rel(q, data["stage_q"]) < TOL
 
 
 def test_train_outputs_match_reference(golden_env, monkeypatch):
@@ -93,6 +97,6 @@ def test_train_outputs_match_reference(golden_env, monkeypatch):
         mutable=["batch_stats"],
     )
     pred_coarse, denoised_coarse, denoised_fine, pred_fine = ret
-    assert _rel(pred_coarse, data["train_pred_coarse"]) < 5e-4
-    assert _rel(denoised_coarse, data["train_denoised_coarse"]) < 5e-4
-    assert _rel(pred_fine, data["train_pred_fine"]) < 5e-4
+    assert _rel(pred_coarse, data["train_pred_coarse"]) < TOL
+    assert _rel(denoised_coarse, data["train_denoised_coarse"]) < TOL
+    assert _rel(pred_fine, data["train_pred_fine"]) < TOL
