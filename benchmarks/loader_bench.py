@@ -27,7 +27,8 @@ import numpy as np
 
 N_PARTIAL = 2048
 N_GT = 16384
-TRAIN_STEP_S = 0.116  # measured: bench.py train_step_ms_bs16_16384, round 3
+TRAIN_STEP_S = 0.1128  # measured: bench.py train_step_ms_bs16_16384, round 3
+N_CHIPS_V5E8 = 8  # single-host v5e-8 demand = 8 × per-chip consumption
 BATCH = 16
 
 
@@ -73,14 +74,13 @@ def build_fixture(root, n_models, with_img):
                 Image.fromarray(img).save(p)
 
 
-def bench(root, with_img, workers, epochs=3):
-    from imgadapointr_tpu.datasets.loader import DataLoader
-    from imgadapointr_tpu.datasets.pcn_dataset import PCN, ImgPCN
+def make_dataset(root, name):
+    from imgadapointr_tpu.datasets.pcn_dataset import PCN, ImgPCN, SegImgPCN
     from imgadapointr_tpu.utils.config import AttrDict
 
     cfg = AttrDict(
         {
-            "NAME": "ImgPCN" if with_img else "PCN",
+            "NAME": name,
             "CATEGORY_FILE_PATH": os.path.join(root, "PCN.json"),
             "N_POINTS": N_GT, "N_RENDERINGS": 8,
             "PARTIAL_POINTS_PATH": os.path.join(root, "%s/partial/%s/%s/%02d.pcd"),
@@ -88,10 +88,88 @@ def bench(root, with_img, workers, epochs=3):
             "CARS": False, "others": {"subset": "train"},
         }
     )
-    if with_img:
+    if name != "PCN":
         cfg["IMG_PATH"] = os.path.join(root, "render/%s/%s/%s/%02d.png")
-    ds = ImgPCN(cfg) if with_img else PCN(cfg)
-    loader = DataLoader(ds, BATCH, shuffle=True, drop_last=True, num_workers=workers)
+    cls = {"PCN": PCN, "ImgPCN": ImgPCN, "SegImgPCN": SegImgPCN}[name]
+    return cls(cfg)
+
+
+def gil_release_fraction(fn, reps=40):
+    """Fraction of ``fn``'s runtime during which a concurrent pure-Python
+    spinner thread can make progress. On this single-vCPU host a fully
+    GIL-releasing stage timeshares ~50/50 with the spinner (fraction → ~1.0
+    after the ×2 single-core correction, capped); a stage that HOLDS the
+    GIL inside one native call starves it (fraction → 0)."""
+    import threading
+
+    counter = {"n": 0, "stop": False}
+
+    def spin():
+        while not counter["stop"]:
+            counter["n"] += 1
+
+    # baseline spinner rate, alone
+    counter["n"], counter["stop"] = 0, False
+    t = threading.Thread(target=spin)
+    t.start()
+    time.sleep(0.5)
+    counter["stop"] = True
+    t.join()
+    rate_alone = counter["n"] / 0.5
+
+    counter["n"], counter["stop"] = 0, False
+    t = threading.Thread(target=spin)
+    t.start()
+    t0 = time.time()
+    for _ in range(reps):
+        fn()
+    dt = time.time() - t0
+    counter["stop"] = True
+    t.join()
+    rate_during = counter["n"] / max(dt, 1e-9)
+    return min(1.0, 2.0 * rate_during / max(rate_alone, 1.0))
+
+
+def stage_costs(root, name, samples=40):
+    """Single-threaded per-stage decode costs (ms/sample) + GIL-released
+    fraction per stage — the inputs for the multi-core scaling arithmetic."""
+    from imgadapointr_tpu.datasets.pcn_dataset import _load_image
+    from imgadapointr_tpu.utils.io_module import IO
+
+    ds = make_dataset(root, name)
+    rng = np.random.default_rng(0)
+    idxs = [int(i) % len(ds) for i in range(samples)]
+    s0 = ds.file_list[0]
+
+    out = {}
+
+    def t_stage(tag, fn):
+        t0 = time.time()
+        for _ in range(samples):
+            fn()
+        out[f"{tag}_ms"] = round((time.time() - t0) / samples * 1e3, 3)
+        out[f"{tag}_gil_released"] = round(gil_release_fraction(fn, samples), 2)
+
+    t_stage("pcd_read", lambda: (IO.get(s0["partial_path"][0]),
+                                 IO.get(s0["gt_path"])))
+    raw = {"partial": IO.get(s0["partial_path"][0]).astype(np.float32),
+           "gt": IO.get(s0["gt_path"]).astype(np.float32)}
+    t_stage("transforms", lambda: ds.transforms(dict(raw), rng))
+    if name != "PCN":
+        t_stage("img_decode", lambda: _load_image(s0["img_path"]))
+    t0 = time.time()
+    for i in idxs:
+        ds.get(i, rng)
+    out["full_sample_ms"] = round((time.time() - t0) / samples * 1e3, 3)
+    return out
+
+
+def bench(root, name, workers, epochs=3, worker_mode="thread"):
+    from imgadapointr_tpu.datasets.loader import DataLoader
+
+    ds = make_dataset(root, name)
+    loader = DataLoader(ds, BATCH, shuffle=True, drop_last=True,
+                        num_workers=workers, worker_mode=worker_mode)
 
     # warm (page cache, lazy imports)
     loader.set_epoch(0)
@@ -111,29 +189,41 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--models", type=int, default=64)
     ap.add_argument("--workers", type=int, default=16)
-    ap.add_argument("--img", action="store_true", help="ImgPCN variant only")
+    ap.add_argument("--pipelines", default="PCN,ImgPCN,SegImgPCN")
+    ap.add_argument("--worker_mode", default="thread,process",
+                    help="comma list of loader worker modes to bench")
+    ap.add_argument("--stages", action="store_true",
+                    help="also measure single-core per-stage costs + GIL "
+                    "release fractions (the multi-core projection inputs)")
     args = ap.parse_args()
 
     demand = BATCH / TRAIN_STEP_S
     root = tempfile.mkdtemp(prefix="loaderbench_")
     try:
         build_fixture(root, args.models, with_img=True)
-        for name, with_img in (("PCN", False), ("ImgPCN", True)):
-            if args.img and not with_img:
-                continue
-            sps = bench(root, with_img, args.workers)
-            print(
-                json.dumps(
-                    {
-                        "pipeline": name,
-                        "samples_per_s": round(sps, 1),
-                        "batch": BATCH,
-                        "workers": args.workers,
-                        "train_demand_samples_per_s": round(demand, 1),
-                        "headroom_x": round(sps / demand, 2),
-                    }
+        for name in args.pipelines.split(","):
+            if args.stages:
+                row = {"pipeline": name, "mode": "stage_costs"}
+                row.update(stage_costs(root, name))
+                print(json.dumps(row))
+            for mode in args.worker_mode.split(","):
+                sps = bench(root, name, args.workers, worker_mode=mode)
+                print(
+                    json.dumps(
+                        {
+                            "pipeline": name,
+                            "mode": mode,
+                            "samples_per_s": round(sps, 1),
+                            "batch": BATCH,
+                            "workers": args.workers,
+                            "train_demand_1chip_samples_per_s": round(demand, 1),
+                            "train_demand_v5e8_samples_per_s": round(
+                                N_CHIPS_V5E8 * demand, 1
+                            ),
+                            "headroom_x_1chip": round(sps / demand, 2),
+                        }
+                    )
                 )
-            )
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

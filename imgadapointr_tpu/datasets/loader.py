@@ -3,18 +3,50 @@
 Replaces the reference's torch DataLoader + DistributedSampler
 (tools/builder.py:14-31, datasets/build.py): each host iterates its own
 shard of the epoch permutation (the pjit data axis handles per-device
-splitting on top of the per-host batch). A thread pool decodes samples in
+splitting on top of the per-host batch). A worker pool decodes samples in
 parallel; a small prefetch queue overlaps host decode with device steps.
+
+Two worker modes (``worker_mode``):
+
+- ``"thread"`` (default): ThreadPoolExecutor. The decode hot path releases
+  the GIL for most of its time (pcio native reads, PIL decode, numpy
+  transforms), so threads scale on multi-core hosts without IPC overhead.
+- ``"process"``: ProcessPoolExecutor over a FORKSERVER context — the
+  analog of the torch DataLoader's ``num_workers`` processes. Sidesteps
+  the GIL entirely for the pure-Python slice of decode; samples come back
+  pickled (small: ≤~175 KB each). Forkserver (not plain fork): the loader
+  forks from inside a producer thread, and fork() in a multi-threaded
+  parent deadlocks nondeterministically on inherited lock state (observed
+  on this host; CPython 3.12 warns about exactly this) — the forkserver's
+  clean single-threaded server process forks safely, at the cost of
+  pickling the dataset once per pool (datasets are small: file lists +
+  config, a few KB). Workers must not touch jax — datasets here are
+  numpy/PIL/ctypes only.
 """
 
 from __future__ import annotations
 
 import queue
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from typing import Iterator
 
 import numpy as np
+
+# per-worker dataset for worker_mode="process" (set by _init_worker from
+# the pickled initargs in each forkserver child)
+_WORKER_DATASET = None
+
+
+def _init_worker(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _fetch_in_worker(task):
+    idx, base_seed = task
+    rng = np.random.default_rng((base_seed, idx))
+    return _WORKER_DATASET.get(idx, rng)
 
 
 class DataLoader:
@@ -29,7 +61,10 @@ class DataLoader:
         num_hosts: int = 1,
         host_id: int = 0,
         prefetch: int = 2,
+        worker_mode: str = "thread",
     ):
+        if worker_mode not in ("thread", "process"):
+            raise ValueError(f"worker_mode must be thread|process, got {worker_mode!r}")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -39,7 +74,36 @@ class DataLoader:
         self.num_hosts = num_hosts
         self.host_id = host_id
         self.prefetch = prefetch
+        self.worker_mode = worker_mode
         self.epoch = 0
+        self._proc_pool = None  # persistent across epochs (see _get_proc_pool)
+
+    def _get_proc_pool(self):
+        """Persistent forkserver pool (torch persistent_workers analog):
+        worker bootstrap re-imports the package (seconds) — paying it once
+        per LOADER instead of once per epoch."""
+        if self._proc_pool is None:
+            import multiprocessing
+
+            self._proc_pool = ProcessPoolExecutor(
+                max_workers=self.num_workers,
+                mp_context=multiprocessing.get_context("forkserver"),
+                initializer=_init_worker,
+                initargs=(self.dataset,),
+            )
+        return self._proc_pool
+
+    def close(self):
+        """Shut down the persistent process pool (no-op in thread mode)."""
+        if self._proc_pool is not None:
+            self._proc_pool.shutdown(wait=False, cancel_futures=True)
+            self._proc_pool = None
+
+    def __del__(self):  # best-effort; close() is the explicit path
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def set_epoch(self, epoch: int):
         """Reshuffle per epoch (reference DistributedSampler.set_epoch,
@@ -69,11 +133,31 @@ class DataLoader:
         nb = len(self)
         base_seed = (self.seed * 7919 + self.epoch) & 0x7FFFFFFF
 
-        def fetch(i):
-            rng = np.random.default_rng((base_seed, int(order[i])))
-            return self.dataset.get(int(order[i]), rng)
+        if self.worker_mode == "process":
+            pool = self._get_proc_pool()
+            own_pool = False  # persistent: NOT shut down per epoch
 
-        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+            def fetch_batch(idxs):
+                # one round-trip per sample; ProcessPoolExecutor raises
+                # BrokenProcessPool through .map if a worker dies → surfaced
+                # by the producer's error path like any decode exception
+                return list(
+                    pool.map(
+                        _fetch_in_worker,
+                        [(int(order[i]), base_seed) for i in idxs],
+                    )
+                )
+        else:
+            def fetch(i):
+                rng = np.random.default_rng((base_seed, int(order[i])))
+                return self.dataset.get(int(order[i]), rng)
+
+            pool = ThreadPoolExecutor(max_workers=self.num_workers)
+            own_pool = True
+
+            def fetch_batch(idxs):
+                return list(pool.map(fetch, idxs))
+
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
@@ -100,7 +184,7 @@ class DataLoader:
                     idxs = list(range(b * self.batch_size, min((b + 1) * self.batch_size, len(order))))
                     if self.drop_last and len(idxs) < self.batch_size:
                         break
-                    samples = list(pool.map(fetch, idxs))
+                    samples = fetch_batch(idxs)
                     if not bounded_put(("batch", self._collate(samples))):
                         return
                 bounded_put(("end", None))
@@ -130,7 +214,8 @@ class DataLoader:
                 yield item
         finally:
             stop.set()
-            pool.shutdown(wait=False)
+            if own_pool:
+                pool.shutdown(wait=False, cancel_futures=True)
 
     @staticmethod
     def _collate(samples):

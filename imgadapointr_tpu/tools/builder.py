@@ -38,6 +38,7 @@ def dataset_builder(args, dataset_cfg, logger=None):
         num_workers=getattr(args, "num_workers", 8),
         num_hosts=num_hosts if is_train else 1,
         host_id=jax.process_index() if is_train else 0,
+        worker_mode=getattr(args, "worker_mode", "thread"),
     )
     return dataset, loader
 

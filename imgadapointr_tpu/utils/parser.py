@@ -22,6 +22,12 @@ def get_args(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=str, required=True, help="yaml config file")
     parser.add_argument("--num_workers", type=int, default=8)
+    parser.add_argument(
+        "--worker_mode", choices=["thread", "process"], default="thread",
+        help="loader decode pool: 'thread' (GIL-releasing decode, default) "
+        "or 'process' (fork workers, the torch-DataLoader analog — use on "
+        "multi-core hosts where pure-Python decode time is the bottleneck)",
+    )
     parser.add_argument("--seed", type=int, default=0, help="random seed")
     parser.add_argument("--exp_name", type=str, default="default", help="experiment name")
     parser.add_argument("--start_ckpts", type=str, default=None)

@@ -123,3 +123,54 @@ def test_loader_collates_and_shards(mini_pcn):
     ids0 = [m[0] for _, m, _ in l0]
     ids1 = [m[0] for _, m, _ in l1]
     assert set(ids0).isdisjoint(set(ids1))
+
+
+def test_process_workers_match_thread_workers(mini_pcn):
+    """worker_mode='process' (fork workers, the torch-DataLoader analog)
+    must produce batch-for-batch IDENTICAL output to the thread pool: the
+    per-sample rng is keyed on (seed, epoch, dataset index), independent of
+    which worker decodes it."""
+    ds = PCN(_config(mini_pcn, "train"))
+
+    def run(mode):
+        loader = DataLoader(
+            ds, batch_size=2, shuffle=True, drop_last=True, seed=3,
+            num_workers=2, worker_mode=mode,
+        )
+        loader.set_epoch(1)
+        return [
+            (tid, mid, {k: v.copy() for k, v in batch.items()})
+            for tid, mid, batch in loader
+        ]
+
+    a, b = run("thread"), run("process")
+    assert len(a) == len(b) > 0
+    for (ta, ma, ba), (tb, mb, bb) in zip(a, b):
+        assert ta == tb and ma == mb
+        assert set(ba) == set(bb)
+        for k in ba:
+            np.testing.assert_array_equal(ba[k], bb[k], err_msg=k)
+
+
+def test_process_workers_surface_decode_errors(mini_pcn, tmp_path):
+    """A corrupt shard must re-raise in the consumer (same contract as the
+    thread mode / torch DataLoader), not hang or truncate the epoch."""
+    ds = PCN(_config(mini_pcn, "train"))
+    orig_get = ds.get
+
+    class _Boom(ValueError):
+        pass
+
+    def bad_get(idx, rng):
+        raise _Boom("corrupt shard")
+
+    ds.get = bad_get
+    try:
+        loader = DataLoader(
+            ds, batch_size=2, shuffle=False, drop_last=True,
+            num_workers=2, worker_mode="process",
+        )
+        with pytest.raises(Exception):
+            list(loader)
+    finally:
+        ds.get = orig_get
