@@ -15,9 +15,12 @@ sustain low single-digit percent of an A100's 156 TFLOP/s tf32 peak. At an
 effective ~5.2 TFLOP/s (3.3% of peak — generous for an unfused eval loop)
 that is 150 completions/s: A100_EST_COMPLETIONS_PER_S. The independently
 *measured* self-baseline (this repo before its Pallas kernels, same chip)
-was 214/s under the old per-step-fetch protocol; adjusted for the ~35 ms
-tunnel round-trip that protocol paid per step (bs 32: 32/214 s - 35 ms →
-~280/s of pure device time), it anchors ``vs_self_baseline``.
+anchors ``vs_baseline``: 230.7/s, re-measured round 4 by running commit
+ca027fb's tree under THIS pipelined protocol on the real chip
+(benchmarks/self_baseline.py) — no modeled correction remains (the round-3
+number derived ~280/s from the old 214/s per-step-fetch measurement plus
+a modeled +35 ms RTT; the direct measurement shows the old protocol cost
+less than the full RTT — steps partially overlapped the fetch).
 """
 
 import json
@@ -38,10 +41,9 @@ enable_compile_cache()  # timings below start after compile; cache only
 # docstring + benchmarks/RESULTS.md "Baseline derivation".
 A100_EST_COMPLETIONS_PER_S = 150.0
 # Measured on the same v5e chip at the same bench point, this repo at commit
-# ca027fb (pure-XLA ops, before the Pallas FPS/kNN/chamfer kernels):
-# 214/s under the old sync protocol = ~280/s of device time after removing
-# the per-step tunnel round-trip that protocol paid (see docstring).
-SELF_BASELINE_COMPLETIONS_PER_S = 280.0
+# ca027fb (pure-XLA ops, before the Pallas FPS/kNN/chamfer kernels), under
+# THIS pipelined protocol (benchmarks/self_baseline.py, round 4):
+SELF_BASELINE_COMPLETIONS_PER_S = 230.7
 
 BATCH = 32  # best-throughput batch on v5e under the pipelined protocol
 # (32: 597/s, 64: 533/s, 128: 464/s — measured round 2)
