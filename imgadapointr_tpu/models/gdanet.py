@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+from ..utils.envflags import env_flag
 from flax import linen as nn
 
 from ..ops import index_points, square_distance

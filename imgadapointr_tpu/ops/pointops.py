@@ -16,6 +16,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from ..utils.envflags import env_flag
+
 
 def square_distance(src: jax.Array, dst: jax.Array) -> jax.Array:
     """Pairwise squared Euclidean distance.

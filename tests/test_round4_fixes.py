@@ -41,3 +41,21 @@ def test_shapenet55_gate_tolerates_missing_num_points():
     assert int(n_pred_hint) == 8192
     config2 = AttrDict({"model": {"NAME": "AdaPoinTr", "num_points": 16384}})
     assert int(config2.model.get("num_points", None) or gt_rep.shape[1]) == 16384
+
+
+def test_env_flag_imported_where_referenced():
+    """The kernel gates call env_flag inside `backend=='tpu' and ...`
+    conjunctions, so a missing import is INVISIBLE to the CPU suite (the
+    conjunction short-circuits) and only crashes on real TPU — caught live
+    in round 4. Assert every module that references env_flag binds it."""
+    import importlib
+
+    for modname in (
+        "imgadapointr_tpu.ops.pointops",
+        "imgadapointr_tpu.ops.chamfer",
+        "imgadapointr_tpu.ops.emd",
+        "imgadapointr_tpu.models.gdanet",
+    ):
+        mod = importlib.import_module(modname)
+        assert hasattr(mod, "env_flag"), f"{modname} references env_flag without importing it"
+        assert mod.env_flag("IMGADAPOINTR_NOT_SET_XYZ", default=False) is False
