@@ -42,7 +42,16 @@ def _smallest_eigvec_sym3x3(A: jax.Array) -> jax.Array:
         - b01 * (b01 * b22 - b12 * b02)
         + b02 * (b01 * b12 - b11 * b02)
     )
-    r = jnp.clip(detB / 2.0, -1.0, 1.0)
+    # Clip STRICTLY inside (-1, 1): arccos' gradient is -1/sqrt(1-r²) → ∞
+    # at r = ±1, and |detB/2| saturates exactly there for degenerate
+    # (isotropic / two-equal-eigenvalue) neighbourhoods — which mid-training
+    # coarse clouds DO produce (collapsed/duplicated points). At the
+    # boundary jnp.clip's gradient is 0, so the ∞ never enters the backward;
+    # the value shift is ≤ ~1.4e-3 rad of phi and only in the regime where
+    # the eigenvector is ill-defined anyway (the fallback below owns it).
+    # Caught live in round 4: the seg-superset convergence arm went NaN at
+    # epoch 1 without this (point-only/img arms have no normals path).
+    r = jnp.clip(detB / 2.0, -1.0 + 1e-6, 1.0 - 1e-6)
     phi = jnp.arccos(r) / 3.0
     lam_min = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)  # smallest
 

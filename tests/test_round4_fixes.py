@@ -59,3 +59,25 @@ def test_env_flag_imported_where_referenced():
         mod = importlib.import_module(modname)
         assert hasattr(mod, "env_flag"), f"{modname} references env_flag without importing it"
         assert mod.env_flag("IMGADAPOINTR_NOT_SET_XYZ", default=False) is False
+
+
+def test_normals_grad_finite_on_degenerate_neighborhoods():
+    """arccos at the r=±1 clip boundary has an infinite derivative; clouds
+    with coplanar-circle / collapsed neighborhoods (two equal covariance
+    eigenvalues) saturate it. Caught live in round 4: the seg-superset
+    convergence arm (normals on mid-training coarse clouds) went NaN at
+    epoch 1. Both value and gradient must stay finite on such clouds."""
+    import jax
+
+    from imgadapointr_tpu.ops.normals import estimate_pointcloud_normals
+
+    t = jnp.linspace(0, 2 * jnp.pi, 33)[:-1]
+    circle = jnp.stack([jnp.cos(t), jnp.sin(t), jnp.zeros_like(t)], -1)
+    collapsed = jnp.zeros((8, 3))  # exactly duplicated points
+    pts = jnp.concatenate([circle, collapsed])[None]  # (1, 40, 3)
+
+    n = estimate_pointcloud_normals(pts, 16)
+    assert np.isfinite(np.asarray(n)).all()
+
+    g = jax.grad(lambda p: jnp.sum(estimate_pointcloud_normals(p, 16) ** 2))(pts)
+    assert np.isfinite(np.asarray(g)).all(), "NaN/inf gradient on degenerate cloud"
