@@ -29,6 +29,7 @@ from __future__ import annotations
 import queue
 import threading
 from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
+from concurrent.futures.process import BrokenProcessPool
 from typing import Iterator
 
 import numpy as np
@@ -189,6 +190,11 @@ class DataLoader:
                         return
                 bounded_put(("end", None))
             except BaseException as exc:  # noqa: BLE001 — relayed, not dropped
+                if isinstance(exc, BrokenProcessPool):
+                    # a dead worker poisons the whole executor permanently;
+                    # drop it so the NEXT epoch/iteration builds a fresh
+                    # pool instead of failing instantly forever
+                    self.close()
                 bounded_put(("error", exc))
 
         t = threading.Thread(target=producer, daemon=True)

@@ -122,18 +122,34 @@ class SGCAM(nn.Module):
     Non-local attention from x (B, N, C) onto component x2 (B, M, C); the
     output projection's BN scale is zero-initialised so the module starts as
     identity (reference :179-180).
+
+    ``commute=True`` reassociates the attention product: the reference's
+    W = θφᵀ/M (B, N, M) followed by W·g becomes θ·(φᵀg)/M — no softmax sits
+    between the matmuls (reference :202-207), so the two forms are
+    mathematically identical; only f32 rounding differs (summation over M
+    before the N-side product instead of after). The (B, N, M) attention
+    matrix is never materialised, forward OR backward — at the superset
+    recipe that removes the dense 512² products from the frozen-GDANet
+    flow-through backward (the designated round-4 lever,
+    benchmarks/RESULTS.md "Superset close-out"). Train-mode-only and
+    convergence-gated like every reassociating kernel change (band
+    11.94 ± 0.5 @ ep20); eval keeps the reference-exact order.
     """
 
     in_channels: int
 
     @nn.compact
-    def __call__(self, x, x2, use_running_average: bool = True):
+    def __call__(self, x, x2, use_running_average: bool = True, commute: bool = False):
         inter = max(self.in_channels // 2, 1)
         g = dense(inter, name="g")(x2)  # (B, M, inter)
         theta = dense(inter, name="theta")(x)  # (B, N, inter)
         phi = dense(inter, name="phi")(x2)  # (B, M, inter)
-        W = jnp.einsum("bni,bmi->bnm", theta, phi) / x2.shape[1]
-        y = jnp.einsum("bnm,bmi->bni", W, g)  # (B, N, inter)
+        if commute:
+            s = jnp.einsum("bmi,bmj->bij", phi, g)  # (B, inter, inter)
+            y = jnp.einsum("bni,bij->bnj", theta, s) / x2.shape[1]
+        else:
+            W = jnp.einsum("bni,bmi->bnm", theta, phi) / x2.shape[1]
+            y = jnp.einsum("bnm,bmi->bni", W, g)  # (B, N, inter)
         y = dense(self.in_channels, name="W_conv")(y)
         # BN with zero-init scale
         ra_mean = self.variable("batch_stats", "W_bn_mean", lambda: jnp.zeros(self.in_channels))
@@ -180,7 +196,14 @@ class GDANet(nn.Module):
         return BatchNorm(ch, name=f"{name}_bn")(feat, True)
 
     @nn.compact
-    def __call__(self, coor, normals, cls_vec, deterministic: bool = True):
+    def __call__(
+        self,
+        coor,
+        normals,
+        cls_vec,
+        deterministic: bool = True,
+        fast_sgcam: bool = False,
+    ):
         B, N, _ = coor.shape
         relu = nn.relu
 
@@ -190,8 +213,8 @@ class GDANet(nn.Module):
         x1 = relu(self._conv_bn(x1, 64, "conv11"))
         x1 = jnp.max(x1, axis=2)  # (B, N, 64)
         x1h, x1l = gdm(x1, M=512)
-        x1h = SGCAM(64, name="SGCAM_1s")(x1, x1h)
-        x1l = SGCAM(64, name="SGCAM_1g")(x1, x1l)
+        x1h = SGCAM(64, name="SGCAM_1s")(x1, x1h, commute=fast_sgcam)
+        x1l = SGCAM(64, name="SGCAM_1g")(x1, x1l, commute=fast_sgcam)
         x1 = relu(self._conv_bn(jnp.concatenate([x1h, x1l], -1), 64, "conv12"))
 
         # block 2
@@ -200,8 +223,8 @@ class GDANet(nn.Module):
         x2 = relu(self._conv_bn(x2, 64, "conv21"))
         x2 = jnp.max(x2, axis=2)
         x2h, x2l = gdm(x2, M=512)
-        x2h = SGCAM(64, name="SGCAM_2s")(x2, x2h)
-        x2l = SGCAM(64, name="SGCAM_2g")(x2, x2l)
+        x2h = SGCAM(64, name="SGCAM_2s")(x2, x2h, commute=fast_sgcam)
+        x2l = SGCAM(64, name="SGCAM_2g")(x2, x2l, commute=fast_sgcam)
         x2 = relu(self._conv_bn(jnp.concatenate([x2h, x2l], -1), 64, "conv22"))
 
         # block 3

@@ -15,11 +15,13 @@ from ``--gdanet_w`` (see tools/convert_torch.py for the torch converter).
 
 from __future__ import annotations
 
+import jax
 from flax import linen as nn
 
 from ..nn.image_encoders import ResNet18Encoder
 from ..ops.normals import estimate_pointcloud_normals
 from ..utils.config import AttrDict
+from ..utils.envflags import env_flag
 from ..utils.registry import MODELS
 from .adapointr import AdaPoinTrBase, rebuild_factor
 from .build import ModelSpec
@@ -46,6 +48,58 @@ def _scrambled_normals(coor):
     return normals.reshape(B, 3, N).transpose(0, 2, 1)
 
 
+def _sgcam_commute_active(train: bool) -> bool:
+    """TPU train-mode gate for the SGCAM product reassociation (see
+    models/gdanet.py SGCAM): mathematically identical (no softmax between
+    the matmuls), f32-rounding-level different, so it follows the repo's
+    reassociation rule — TPU-only, train-only, opt-out flag, and gated on
+    the seg-superset convergence band (benchmarks/RESULTS.md)."""
+    return (
+        bool(train)
+        and jax.default_backend() == "tpu"
+        and not env_flag("IMGADAPOINTR_DISABLE_SGCAM_COMMUTE")
+    )
+
+
+def _make_seg_fn(gdanet, train: bool, barrier: bool = False):
+    """Frozen-GDANet feature extractor for the fusion stacks.
+
+    Under training the whole flow-through (normals → GDANet) is wrapped in
+    ``nn.remat``: gradient must flow THROUGH the frozen net into the coarse
+    cloud (reference pctransformer.py:237-278 — no detach), but none of its
+    intermediates need to survive to the backward pass — recomputing the
+    forward during backprop replaces their HBM round-trips (the (B, N, k, C)
+    edge-conv tensors dominate) with MXU/VPU replay that overlaps the rest
+    of the step. The replay runs the same deterministic math: loss values
+    are bit-equal and gradients agree to f32 rounding (XLA fuses the remat
+    backward differently, so ulp-level reassociation remains — measured
+    ~1e-6 relative; tests/test_round5_fixes.py). The seg grad-parity
+    goldens run with remat active. Opt-out:
+    ``IMGADAPOINTR_DISABLE_SEG_REMAT=1``.
+    """
+    fast = _sgcam_commute_active(train)
+
+    def body(mdl, coor, cls):
+        feat, _ = mdl(
+            coor, _scrambled_normals(coor), cls, deterministic=True,
+            fast_sgcam=fast,
+        )
+        return feat
+
+    remat = train and not env_flag("IMGADAPOINTR_DISABLE_SEG_REMAT")
+    wrapped = nn.remat(body) if remat else body
+
+    def seg_fn(coor, cls):
+        if barrier:
+            coor = jax.lax.optimization_barrier(coor)
+        feat = wrapped(gdanet, coor, cls)
+        if barrier:
+            feat = jax.lax.optimization_barrier(feat)
+        return feat
+
+    return seg_fn
+
+
 class SegEncAdaPoinTrModel(nn.Module):
     """seg_before_enc: GDANet features fused into encoder tokens."""
 
@@ -53,13 +107,10 @@ class SegEncAdaPoinTrModel(nn.Module):
 
     @nn.compact
     def __call__(self, xyz, cls_vec, train: bool = False, bn_momentum=0.1):
+        # frozen usage: normals (k=30, no direction disambiguation) →
+        # GDANet 128-d feature tap (reference pctransformer.py:176-179)
         gdanet = GDANet(50, name="segmentator")
-
-        def seg_fn(coor, cls):
-            # frozen usage: normals (k=30, no direction disambiguation) →
-            # GDANet 128-d feature tap (reference pctransformer.py:176-179)
-            feat, _ = gdanet(coor, _scrambled_normals(coor), cls, deterministic=True)
-            return feat
+        seg_fn = _make_seg_fn(gdanet, train)
 
         return AdaPoinTrBase(self.config, name="core")(
             xyz, seg_fn=seg_fn, cls_vec=cls_vec, train=train, bn_momentum=bn_momentum
@@ -79,16 +130,10 @@ class ImgEncSegDecAdaPoinTrModel(nn.Module):
 
     @nn.compact
     def __call__(self, xyz, img, cls_vec, train: bool = False, bn_momentum=0.1):
-        import jax
-
         img_feat = ResNet18Encoder(name="im_encoder")(img, train, bn_momentum)
         img_feat = jax.lax.optimization_barrier(img_feat)
         gdanet = GDANet(50, name="segmentator")
-
-        def seg_fn(coor, cls):
-            coor = jax.lax.optimization_barrier(coor)
-            feat, _ = gdanet(coor, _scrambled_normals(coor), cls, deterministic=True)
-            return jax.lax.optimization_barrier(feat)
+        seg_fn = _make_seg_fn(gdanet, train, barrier=True)
 
         return AdaPoinTrBase(self.config, name="core")(
             xyz, img_feat=img_feat, seg_fn=seg_fn, cls_vec=cls_vec,

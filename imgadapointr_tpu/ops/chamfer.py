@@ -35,6 +35,53 @@ from ..utils.envflags import env_flag
 
 _TILE = 1024  # M-tile per scan step; peak temp = B*N*TILE floats.
 
+# --sp: when set (trace-time, via points_axis_sharding), the chamfer losses
+# route over the ppermute ring of ops/sharded.py with the point dim sharded
+# on the context's mesh axis. (mesh, points_axis, batch_axis) or None.
+_POINTS_CTX = None
+
+
+class points_axis_sharding:
+    """Context manager: route ``chamfer_l1``/``chamfer_l2`` calls traced
+    inside it over the point-axis ring (``ops/sharded.py``), sharding the
+    point dimension of both clouds across ``axis`` of ``mesh`` and the batch
+    over ``batch_axis``. Used by the runner when ``--sp > 1``: the O(B·N·M)
+    distance field — the train step's dominant term at large N — then rides
+    ICI instead of living on one chip. Selection stays diff-form exact
+    (lowest-global-index ties); losses whose shapes don't divide the axis
+    fall back to the unsharded op per call.
+    """
+
+    def __init__(self, mesh, axis: str = "points", batch_axis: str | None = "data"):
+        self.ctx = (mesh, axis, batch_axis)
+
+    def __enter__(self):
+        global _POINTS_CTX
+        self._prev = _POINTS_CTX
+        _POINTS_CTX = self.ctx
+        return self
+
+    def __exit__(self, *exc):
+        global _POINTS_CTX
+        _POINTS_CTX = self._prev
+        return False
+
+
+def _points_ctx_for(x, y, w1, w2):
+    """The active --sp context iff this (x, y) call can ride the ring:
+    unmasked, point dims divisible by the axis, batch divisible by the
+    batch axis, and each per-device reference block still holds at least
+    one point."""
+    if _POINTS_CTX is None or w1 is not None or w2 is not None:
+        return None
+    mesh, axis, batch_axis = _POINTS_CTX
+    p = int(mesh.shape[axis])
+    if p <= 1 or x.shape[1] % p or y.shape[1] % p:
+        return None
+    if batch_axis is not None and x.shape[0] % int(mesh.shape[batch_axis]):
+        return None
+    return mesh, axis, batch_axis
+
 
 def _pad_to_multiple(y: jax.Array, tile: int) -> tuple[jax.Array, int]:
     m = y.shape[1]
@@ -297,6 +344,12 @@ def chamfer_l1(x, y, w1=None, w2=None):
     With masks, per-direction means divide by the number of *valid* points.
     Reference: extensions/chamfer_dist/__init__.py:64-84.
     """
+    ctx = _points_ctx_for(x, y, w1, w2)
+    if ctx is not None:
+        from .sharded import sharded_chamfer_l1
+
+        mesh, axis, batch_axis = ctx
+        return sharded_chamfer_l1(x, y, mesh, axis=axis, batch_axis=batch_axis)
     d1, d2, _, _ = nn_distance(x, y, w1, w2)
     s1 = jnp.sqrt(jnp.maximum(d1, 1e-24))
     s2 = jnp.sqrt(jnp.maximum(d2, 1e-24))
@@ -305,6 +358,12 @@ def chamfer_l1(x, y, w1=None, w2=None):
 
 def chamfer_l2(x, y, w1=None, w2=None):
     """CD-L2: ``mean(d1) + mean(d2)`` (reference __init__.py:28-44)."""
+    ctx = _points_ctx_for(x, y, w1, w2)
+    if ctx is not None:
+        from .sharded import sharded_chamfer_l2
+
+        mesh, axis, batch_axis = ctx
+        return sharded_chamfer_l2(x, y, mesh, axis=axis, batch_axis=batch_axis)
     d1, d2, _, _ = nn_distance(x, y, w1, w2)
     return _masked_mean(d1, w1) + _masked_mean(d2, w2)
 

@@ -190,22 +190,33 @@ def sharded_nn_distance(
 
 
 def sharded_chamfer_l1(
-    x: jax.Array, y: jax.Array, mesh: Mesh, axis: str = POINTS_AXIS
+    x: jax.Array,
+    y: jax.Array,
+    mesh: Mesh,
+    axis: str = POINTS_AXIS,
+    batch_axis: str | None = None,
 ) -> jax.Array:
     """CD-L1 ``(mean(sqrt d1) + mean(sqrt d2)) / 2`` over sharded clouds.
 
     Differentiable w.r.t. both clouds (gradients ride the reverse ring).
+    ``batch_axis`` additionally shards the batch dim over that mesh axis
+    (dp × sp composition inside the runner's train step, ``--sp``): the
+    result is then the GLOBAL batch mean, psum'd over both axes, so the
+    scalar is identical on every device — matching the unsharded loss under
+    GSPMD data parallelism.
     """
     p = mesh.shape[axis]
     _check_div(x, y, p, axis)
-    spec = P(None, axis, None)
+    spec = P(batch_axis, axis, None)
+    axes = (axis,) if batch_axis is None else (batch_axis, axis)
+    bmul = 1 if batch_axis is None else mesh.shape[batch_axis]
 
     def body(x_loc, y_loc):
         d1, d2, _, _ = _nn_both_directions(x_loc, y_loc, axis, p, 1024)
         s1 = jnp.sqrt(jnp.maximum(d1, 1e-24))
         s2 = jnp.sqrt(jnp.maximum(d2, 1e-24))
-        m1 = lax.psum(jnp.sum(s1), axis) / (s1.shape[0] * s1.shape[1] * p)
-        m2 = lax.psum(jnp.sum(s2), axis) / (s2.shape[0] * s2.shape[1] * p)
+        m1 = lax.psum(jnp.sum(s1), axes) / (s1.shape[0] * bmul * s1.shape[1] * p)
+        m2 = lax.psum(jnp.sum(s2), axes) / (s2.shape[0] * bmul * s2.shape[1] * p)
         return (m1 + m2) / 2.0
 
     return jax.shard_map(
@@ -214,17 +225,24 @@ def sharded_chamfer_l1(
 
 
 def sharded_chamfer_l2(
-    x: jax.Array, y: jax.Array, mesh: Mesh, axis: str = POINTS_AXIS
+    x: jax.Array,
+    y: jax.Array,
+    mesh: Mesh,
+    axis: str = POINTS_AXIS,
+    batch_axis: str | None = None,
 ) -> jax.Array:
-    """CD-L2 ``mean(d1) + mean(d2)`` over sharded clouds."""
+    """CD-L2 ``mean(d1) + mean(d2)`` over sharded clouds (``batch_axis``:
+    see :func:`sharded_chamfer_l1`)."""
     p = mesh.shape[axis]
     _check_div(x, y, p, axis)
-    spec = P(None, axis, None)
+    spec = P(batch_axis, axis, None)
+    axes = (axis,) if batch_axis is None else (batch_axis, axis)
+    bmul = 1 if batch_axis is None else mesh.shape[batch_axis]
 
     def body(x_loc, y_loc):
         d1, d2, _, _ = _nn_both_directions(x_loc, y_loc, axis, p, 1024)
-        m1 = lax.psum(jnp.sum(d1), axis) / (d1.shape[0] * d1.shape[1] * p)
-        m2 = lax.psum(jnp.sum(d2), axis) / (d2.shape[0] * d2.shape[1] * p)
+        m1 = lax.psum(jnp.sum(d1), axes) / (d1.shape[0] * bmul * d1.shape[1] * p)
+        m2 = lax.psum(jnp.sum(d2), axes) / (d2.shape[0] * bmul * d2.shape[1] * p)
         return m1 + m2
 
     return jax.shard_map(

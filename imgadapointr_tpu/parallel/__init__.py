@@ -1,6 +1,7 @@
 from .mesh import (
     DATA_AXIS,
     MODEL_AXIS,
+    POINTS_AXIS,
     batch_sharding,
     make_mesh,
     param_sharding_rules,

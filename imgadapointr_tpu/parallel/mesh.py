@@ -15,13 +15,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+POINTS_AXIS = "points"  # ops/sharded.py ring ops ride this axis (--sp)
 
 
-def make_mesh(devices=None, tp: int = 1) -> Mesh:
-    """(n_devices/tp) × tp mesh with axes ('data', 'model')."""
+def make_mesh(devices=None, tp: int = 1, sp: int = 1) -> Mesh:
+    """(n_devices/(tp·sp)) × tp [× sp] mesh.
+
+    Axes ('data', 'model'), plus a third 'points' axis when ``sp > 1`` —
+    the point-dimension axis the big-N ring ops (ops/sharded.py) shard
+    over when wired into the runner via ``--sp``. The axis is only added
+    when requested so the default mesh keeps its two-axis shape."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
-    assert n % tp == 0, f"{n} devices not divisible by tp={tp}"
+    assert n % (tp * sp) == 0, f"{n} devices not divisible by tp={tp}·sp={sp}"
+    if sp > 1:
+        arr = np.asarray(devices).reshape(n // (tp * sp), tp, sp)
+        return Mesh(arr, (DATA_AXIS, MODEL_AXIS, POINTS_AXIS))
     arr = np.asarray(devices).reshape(n // tp, tp)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 

@@ -61,7 +61,11 @@ class Runner:
         self.config = config
         self.logger = logger
         self.tp = int(getattr(args, "tp", 1) or 1)
-        self.mesh = make_mesh(tp=self.tp)
+        # --sp: point-axis sharding of the train losses' O(B·N·M) chamfer
+        # over a 'points' mesh axis (ops/sharded.py ppermute rings) — the
+        # big-N scale-out lever the reference has no analog for
+        self.sp = int(getattr(args, "sp", 1) or 1)
+        self.mesh = make_mesh(tp=self.tp, sp=self.sp)
         self.spec = build_model_spec(config.model)
         self.module = self.spec.module
         self.consider_metric = config.get("consider_metric", "CDL1")
@@ -184,7 +188,13 @@ class Runner:
                 rngs={"noise": rng_noise, "dropout": rng_drop},
                 mutable=["batch_stats"],
             )
-            sparse, dense = spec.loss_fn(ret, batch["gt"], epoch_f)
+            if self.sp > 1:
+                from ..ops.chamfer import points_axis_sharding
+
+                with points_axis_sharding(self.mesh):
+                    sparse, dense = spec.loss_fn(ret, batch["gt"], epoch_f)
+            else:
+                sparse, dense = spec.loss_fn(ret, batch["gt"], epoch_f)
             return sparse + dense, (sparse, dense, upd["batch_stats"])
 
         (total, (sparse, dense, new_bs)), grads = jax.value_and_grad(
@@ -409,7 +419,7 @@ def run_net(args, config, writers=None):
         best_metrics = Metrics(runner.consider_metric, bm) if bm else None
         print_log(f"Resumed from epoch {start_epoch}", logger)
     elif getattr(args, "start_ckpts", None):
-        state, _ = load_checkpoint(state, args.start_ckpts, args.experiment_path)
+        state = _load_start_ckpts(state, args.start_ckpts, args, config, logger)
         state = runner.shard_state(state)
 
     max_epoch = int(config.max_epoch)
@@ -418,88 +428,133 @@ def run_net(args, config, writers=None):
     wandb_run = _maybe_wandb(args, config)
     profile_window = (1, 6) if getattr(args, "profile", False) else None
 
-    for epoch in range(start_epoch, max_epoch):
-        train_loader.set_epoch(epoch)
-        losses = AverageMeter(["SparseLoss", "DenseLoss"])
-        batch_time = AverageMeter()
-        step_losses = []  # per-step device scalars, one fetch at epoch end
-        epoch_start = time.time()
-        n_batches = len(train_loader)
+    try:
+        for epoch in range(start_epoch, max_epoch):
+            train_loader.set_epoch(epoch)
+            losses = AverageMeter(["SparseLoss", "DenseLoss"])
+            batch_time = AverageMeter()
+            step_losses = []  # per-step device scalars, one fetch at epoch end
+            epoch_start = time.time()
+            n_batches = len(train_loader)
 
-        t0 = time.time()
-        for idx, (_, _, batch) in enumerate(runner.prefetch(iter(train_loader))):
-            # jax.profiler trace of a few warm steps (--profile; the tracing
-            # story the reference lacks, SURVEY §5)
-            if profile_window and epoch == start_epoch:
-                if idx == profile_window[0]:
-                    jax.profiler.start_trace(args.tfboard_path)
-                elif idx == profile_window[1]:
-                    jax.profiler.stop_trace()
-                    print_log(f"profiler trace written to {args.tfboard_path}", logger)
-            rng, sub = jax.random.split(rng)
-            epoch_f = epoch + idx / steps_per_epoch
-            state, metrics = runner.train_step(state, batch, sub, epoch_f)
-            # keep EVERY step's losses as device scalars (no host sync —
-            # the async dispatch pipeline stays intact); fetched in ONE
-            # stack+transfer at epoch end so Loss/Epoch/* means cover all
-            # batches like the reference, not every 100th
-            step_losses.append((metrics["sparse_loss"], metrics["dense_loss"]))
-            if idx % 100 == 0:
-                # host sync only when logging
-                m = jax.device_get(metrics)
-                losses.update([float(m["sparse_loss"]) * 1000, float(m["dense_loss"]) * 1000])
-                batch_time.update(time.time() - t0)
-                print_log(
-                    f"[Epoch {epoch}/{max_epoch}][Batch {idx + 1}/{n_batches}] "
-                    f"BatchTime = {batch_time.val():.3f}s "
-                    f"Losses = {['%.4f' % l for l in losses.val()]} "
-                    f"lr = {float(m['lr']):.6f}",
-                    logger,
-                )
-                if train_writer:
-                    step = epoch * steps_per_epoch + idx
-                    train_writer.add_scalar("Loss/Batch/Sparse", float(m["sparse_loss"]) * 1000, step)
-                    train_writer.add_scalar("Loss/Batch/Dense", float(m["dense_loss"]) * 1000, step)
-                    train_writer.add_scalar("LR/Batch", float(m["lr"]), step)
             t0 = time.time()
+            for idx, (_, _, batch) in enumerate(runner.prefetch(iter(train_loader))):
+                # jax.profiler trace of a few warm steps (--profile; the tracing
+                # story the reference lacks, SURVEY §5)
+                if profile_window and epoch == start_epoch:
+                    if idx == profile_window[0]:
+                        jax.profiler.start_trace(args.tfboard_path)
+                    elif idx == profile_window[1]:
+                        jax.profiler.stop_trace()
+                        print_log(f"profiler trace written to {args.tfboard_path}", logger)
+                rng, sub = jax.random.split(rng)
+                epoch_f = epoch + idx / steps_per_epoch
+                state, metrics = runner.train_step(state, batch, sub, epoch_f)
+                # keep EVERY step's losses as device scalars (no host sync —
+                # the async dispatch pipeline stays intact); fetched in ONE
+                # stack+transfer at epoch end so Loss/Epoch/* means cover all
+                # batches like the reference, not every 100th
+                step_losses.append((metrics["sparse_loss"], metrics["dense_loss"]))
+                if idx % 100 == 0:
+                    # host sync only when logging
+                    m = jax.device_get(metrics)
+                    losses.update([float(m["sparse_loss"]) * 1000, float(m["dense_loss"]) * 1000])
+                    batch_time.update(time.time() - t0)
+                    print_log(
+                        f"[Epoch {epoch}/{max_epoch}][Batch {idx + 1}/{n_batches}] "
+                        f"BatchTime = {batch_time.val():.3f}s "
+                        f"Losses = {['%.4f' % l for l in losses.val()]} "
+                        f"lr = {float(m['lr']):.6f}",
+                        logger,
+                    )
+                    if train_writer:
+                        step = epoch * steps_per_epoch + idx
+                        train_writer.add_scalar("Loss/Batch/Sparse", float(m["sparse_loss"]) * 1000, step)
+                        train_writer.add_scalar("Loss/Batch/Dense", float(m["dense_loss"]) * 1000, step)
+                        train_writer.add_scalar("LR/Batch", float(m["lr"]), step)
+                t0 = time.time()
 
-        epoch_time = time.time() - epoch_start
-        # exact all-batch epoch means (reference updates its meter every
-        # iteration): stack the per-step device scalars and fetch ONCE
-        if step_losses:
-            ep_sparse = float(jnp.mean(jnp.stack([s for s, _ in step_losses]))) * 1000
-            ep_dense = float(jnp.mean(jnp.stack([d for _, d in step_losses]))) * 1000
-        else:
-            ep_sparse, ep_dense = losses.avg(0), losses.avg(1)
-        print_log(
-            f"[Training] EPOCH: {epoch} EpochTime = {epoch_time:.3f}s "
-            f"Losses = {['%.4f' % l for l in (ep_sparse, ep_dense)]}",
-            logger,
-        )
-        if train_writer:
-            train_writer.add_scalar("Loss/Epoch/Sparse", ep_sparse, epoch)
-            train_writer.add_scalar("Loss/Epoch/Dense", ep_dense, epoch)
-        if wandb_run:
-            wandb_run.log(
-                {"epoch": epoch, "train/sparse": ep_sparse, "train/dense": ep_dense}
+            epoch_time = time.time() - epoch_start
+            # exact all-batch epoch means (reference updates its meter every
+            # iteration): stack the per-step device scalars and fetch ONCE
+            if step_losses:
+                ep_sparse = float(jnp.mean(jnp.stack([s for s, _ in step_losses]))) * 1000
+                ep_dense = float(jnp.mean(jnp.stack([d for _, d in step_losses]))) * 1000
+            else:
+                ep_sparse, ep_dense = losses.avg(0), losses.avg(1)
+            print_log(
+                f"[Training] EPOCH: {epoch} EpochTime = {epoch_time:.3f}s "
+                f"Losses = {['%.4f' % l for l in (ep_sparse, ep_dense)]}",
+                logger,
             )
-
-        if epoch % int(getattr(args, "val_freq", 1)) == 0:
-            metrics = validate(runner, state, val_loader, epoch, val_writer, args, config, logger)
+            if train_writer:
+                train_writer.add_scalar("Loss/Epoch/Sparse", ep_sparse, epoch)
+                train_writer.add_scalar("Loss/Epoch/Dense", ep_dense, epoch)
             if wandb_run:
-                wandb_run.log({"epoch": epoch, **{f"val/{k}": v for k, v in metrics.state_dict().items()}})
-            if metrics.better_than(best_metrics):
-                best_metrics = metrics
-                _save(runner, state, "ckpt-best", epoch, metrics, best_metrics, args, logger)
-        _save(runner, state, "ckpt-last", epoch, None, best_metrics, args, logger)
-        if epoch > max_epoch - 2:
-            _save(runner, state, f"ckpt-epoch-{epoch:03d}", epoch, None, best_metrics, args, logger)
+                wandb_run.log(
+                    {"epoch": epoch, "train/sparse": ep_sparse, "train/dense": ep_dense}
+                )
+
+            if epoch % int(getattr(args, "val_freq", 1)) == 0:
+                metrics = validate(runner, state, val_loader, epoch, val_writer, args, config, logger)
+                if wandb_run:
+                    wandb_run.log({"epoch": epoch, **{f"val/{k}": v for k, v in metrics.state_dict().items()}})
+                if metrics.better_than(best_metrics):
+                    best_metrics = metrics
+                    _save(runner, state, "ckpt-best", epoch, metrics, best_metrics, args, logger)
+            _save(runner, state, "ckpt-last", epoch, None, best_metrics, args, logger)
+            if epoch > max_epoch - 2:
+                _save(runner, state, f"ckpt-epoch-{epoch:03d}", epoch, None, best_metrics, args, logger)
+    finally:
+        # teardown: release the loaders' worker pools (persistent
+        # forkserver pools otherwise rely on __del__/atexit)
+        train_loader.close()
+        val_loader.close()
 
     if train_writer:
         train_writer.close()
     if val_writer:
         val_writer.close()
     return state
+
+
+def _load_start_ckpts(state, start_ckpts: str, args, config, logger):
+    """Reference ``--start_ckpts`` warm-start semantics (tools/runner.py:51-52
+    → builder.load_model :141-157): load WEIGHTS ONLY (params + batch stats)
+    from an arbitrary checkpoint path — a native ``.ckpt``, a reference
+    torch ``.pth``/``.pt`` (via the converter, like ``--ckpts``), or, for
+    back-compat, a bare prefix resolved inside the experiment dir. The
+    optimizer, LR/BN schedules and epoch counter always start fresh (the
+    finetune workflow, e.g. reference cfgs/KITTI_models/AdaPoinTr.yaml
+    warm-starting from PCN weights)."""
+    weights = {"params": state["params"], "batch_stats": state["batch_stats"]}
+    if start_ckpts.endswith((".pth", ".pt")):
+        from .convert_torch import load_torch_checkpoint_into_state
+
+        weights = load_torch_checkpoint_into_state(
+            weights, start_ckpts, config.model
+        )
+    else:
+        from ..utils.checkpoint import load_weights_only
+
+        path = start_ckpts
+        if not path.endswith(".ckpt"):
+            path = path + ".ckpt"
+        if not os.path.isfile(path):
+            in_exp = os.path.join(args.experiment_path, path)
+            if not os.path.isfile(in_exp):
+                raise FileNotFoundError(
+                    f"--start_ckpts: no checkpoint at {start_ckpts!r} "
+                    f"(tried {path} and {in_exp})"
+                )
+            path = in_exp
+        weights = load_weights_only(weights, path)
+    print_log(f"Warm-start weights loaded from {start_ckpts} "
+              f"(fresh optimizer/schedules)", logger)
+    out = dict(state)
+    out["params"] = weights["params"]
+    out["batch_stats"] = weights["batch_stats"]
+    return out
 
 
 def _maybe_wandb(args, config):

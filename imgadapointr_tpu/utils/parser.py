@@ -47,6 +47,13 @@ def get_args(argv=None):
     parser.add_argument("--gdanet_w", type=str, default=None, help="frozen GDANet weights")
     parser.add_argument("--wandb", action="store_true", default=False)
     parser.add_argument("--tp", type=int, default=1, help="tensor-parallel width")
+    parser.add_argument(
+        "--sp", type=int, default=1,
+        help="point-axis-parallel width: shards the train losses' O(B·N·M) "
+        "chamfer over a 'points' mesh axis via the ppermute ring ops "
+        "(ops/sharded.py); requires n_devices divisible by tp*sp and the "
+        "cloud sizes divisible by sp",
+    )
     parser.add_argument("--synthetic", action="store_true", help="use SyntheticPCN data")
     parser.add_argument("--syn_train_len", type=int, default=None,
                         help="--synthetic train-split length (default: "

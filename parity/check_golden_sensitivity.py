@@ -147,6 +147,50 @@ def main():
         lambda: check_grads(env2),
     )
 
+    # 5. SPARSE drift confined to off-sample-grid elements ------------------
+    # (round-5 ADVICE case): sign-flip a handful of elements that sit OFF
+    # the strided sample grid and are not the block max — maxabs and l2 are
+    # untouched by sign flips, the sample misses them, so only the signed
+    # checksum can see it. Requires the cks component in the golden.
+    import copy as _copy
+
+    env3 = dict(env)
+    env3["grads"] = _copy.deepcopy(env["grads"])
+
+    def flip_offgrid(tree):
+        from parity.param_source import SAMPLE_K, sample_indices
+        from tests.golden_compact import _flat
+
+        flat_tree = _flat(tree)
+        for k in sorted(flat_tree):
+            path = "/".join(k)
+            a = np.asarray(flat_tree[k])
+            if "query_ranking" in path or a.size < 4 * SAMPLE_K:
+                continue
+            flat = a.ravel().copy()
+            grid = set(sample_indices(flat.size, SAMPLE_K).tolist())
+            # off-grid, nonzero, not the block max
+            mx = np.abs(flat).max()
+            hit = [
+                i for i in range(1, flat.size, 7)
+                if i not in grid and flat[i] != 0 and abs(flat[i]) < 0.9 * mx
+            ][:5]
+            if len(hit) < 3:
+                continue
+            flat[hit] = -flat[hit]
+            node = tree
+            for p in k[:-1]:
+                node = node[p]
+            node[k[-1]] = flat.reshape(a.shape)
+            return path, len(hit)
+        raise RuntimeError("no suitable block for the sparse-drift case")
+
+    spath, nflip = flip_offgrid(env3["grads"])
+    ok &= expect_fail(
+        f"sparse off-grid sign flips ({nflip} elems of {spath})",
+        lambda: check_grads(env3),
+    )
+
     print("SENSITIVITY " + ("OK — all injected drifts detected" if ok else "FAILED"))
     return 0 if ok else 1
 

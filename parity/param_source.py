@@ -219,8 +219,24 @@ def sample_indices(n: int, k: int = SAMPLE_K) -> np.ndarray:
     return np.arange(k, dtype=np.int64) * stride + stride // 2
 
 
+def rademacher_signs(n: int) -> np.ndarray:
+    """Deterministic ±1 pattern from a closed-form integer mix (no RNG
+    library dependence — bit-stable across numpy versions forever)."""
+    i = np.arange(n, dtype=np.uint64)
+    h = i * np.uint64(0x9E3779B97F4A7C15)
+    h ^= h >> np.uint64(29)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(32)
+    return np.where((h >> np.uint64(13)) & np.uint64(1), 1.0, -1.0)
+
+
 def digest_block(a: np.ndarray, k: int = SAMPLE_K):
-    """(maxabs f64, l2 f64, sample values) of one tensor block."""
+    """(maxabs f64, l2 f64, sample values, signed checksum f64) of one
+    tensor block. The checksum — Σᵢ ±xᵢ with deterministic signs — sees
+    EVERY element, catching sparse drift confined to off-sample-grid
+    elements (including pure sign flips, which leave maxabs/l2/sample all
+    unchanged); per-element f32 parity noise accumulates randomly, so its
+    relative deviation stays at the elementwise noise level."""
     flat = np.asarray(a).ravel()
     f64 = flat.astype(np.float64)
     idx = sample_indices(flat.size, k)
@@ -228,6 +244,7 @@ def digest_block(a: np.ndarray, k: int = SAMPLE_K):
         float(np.abs(f64).max()) if f64.size else 0.0,
         float(np.linalg.norm(f64)),
         flat[idx],
+        float(np.dot(rademacher_signs(f64.size), f64)) if f64.size else 0.0,
     )
 
 
@@ -236,10 +253,11 @@ def write_digest_tree(golden: dict, tag: str, flat_tree: dict, dtype=np.float32)
     (a {path-tuple: array} dict) under keys ``{tag}//{max|l2|smp}//path``."""
     for k, v in flat_tree.items():
         path = "/".join(k)
-        mx, l2, smp = digest_block(np.asarray(v))
+        mx, l2, smp, cks = digest_block(np.asarray(v))
         golden[f"{tag}//max//{path}"] = np.asarray(mx, np.float64)
         golden[f"{tag}//l2//{path}"] = np.asarray(l2, np.float64)
         golden[f"{tag}//smp//{path}"] = np.asarray(smp, dtype)
+        golden[f"{tag}//cks//{path}"] = np.asarray(cks, np.float64)
 
 
 def read_digest_tree(data, tag: str):
@@ -250,19 +268,27 @@ def read_digest_tree(data, tag: str):
         if not key.startswith(pre):
             continue
         path = key[len(pre):]
+        cks_key = f"{tag}//cks//{path}"
         out[path] = (
             float(data[f"{tag}//max//{path}"]),
             float(data[f"{tag}//l2//{path}"]),
             np.asarray(data[f"{tag}//smp//{path}"]),
+            # pre-round-5 goldens have no checksum component; the check is
+            # skipped for them until regeneration
+            float(data[cks_key]) if cks_key in data.files else None,
         )
     return out
 
 
 def compare_digest(path, ours: np.ndarray, ref_digest, scale: float):
-    """Max relative deviation of (sample, l2, maxabs) of OUR full block vs
-    the frozen reference digest, normalised by ``scale`` (the old full-
-    tensor tests' rule: scale = max(ref_maxabs, 1e-6·global_maxabs))."""
-    ref_mx, ref_l2, ref_smp = ref_digest
+    """Max relative deviation of (sample, l2, maxabs, checksum) of OUR full
+    block vs the frozen reference digest, normalised by ``scale`` (the old
+    full-tensor tests' rule: scale = max(ref_maxabs, 1e-6·global_maxabs)).
+    The checksum component (absent in pre-round-5 goldens → skipped) covers
+    sparse drift off the sample grid; its deviation is normalised by the
+    block l2 (the checksum's natural magnitude)."""
+    ref_mx, ref_l2, ref_smp = ref_digest[:3]
+    ref_cks = ref_digest[3] if len(ref_digest) > 3 else None
     flat = np.asarray(ours).ravel()
     idx = sample_indices(flat.size, len(ref_smp))
     d_smp = float(
@@ -273,4 +299,8 @@ def compare_digest(path, ours: np.ndarray, ref_digest, scale: float):
     # same block scale so tolerances line up with the sample check
     d_l2 = abs(our_l2 - ref_l2) / max(ref_l2, scale)
     d_mx = abs(float(np.abs(flat).max() if flat.size else 0.0) - ref_mx) / scale
-    return max(d_smp, d_l2, d_mx)
+    d_cks = 0.0
+    if ref_cks is not None and flat.size:
+        our_cks = float(np.dot(rademacher_signs(flat.size), flat.astype(np.float64)))
+        d_cks = abs(our_cks - ref_cks) / max(ref_l2, scale)
+    return max(d_smp, d_l2, d_mx, d_cks)

@@ -152,25 +152,73 @@ def test_process_workers_match_thread_workers(mini_pcn):
             np.testing.assert_array_equal(ba[k], bb[k], err_msg=k)
 
 
-def test_process_workers_surface_decode_errors(mini_pcn, tmp_path):
-    """A corrupt shard must re-raise in the consumer (same contract as the
-    thread mode / torch DataLoader), not hang or truncate the epoch."""
-    ds = PCN(_config(mini_pcn, "train"))
-    orig_get = ds.get
+class _CorruptShardError(ValueError):
+    """Module-level (picklable) so the exception type survives the
+    worker→consumer relay across the forkserver boundary."""
 
-    class _Boom(ValueError):
-        pass
 
-    def bad_get(idx, rng):
-        raise _Boom("corrupt shard")
+class _CorruptPCN(PCN):
+    """Module-level (picklable) dataset whose decode always fails IN the
+    worker process — a closure-monkeypatched ``get`` would fail at pool
+    spawn (unpicklable) and never exercise the in-worker relay path."""
 
-    ds.get = bad_get
+    def get(self, idx, rng):
+        raise _CorruptShardError(f"corrupt shard {idx}")
+
+
+class _DieOncePCN(PCN):
+    """Kills the first worker that touches it (hard os._exit — the
+    BrokenProcessPool case), then behaves normally once the flag file is
+    consumed."""
+
+    def __init__(self, cfg, flag_path):
+        super().__init__(cfg)
+        self.flag_path = flag_path
+
+    def get(self, idx, rng):
+        if os.path.exists(self.flag_path):
+            try:
+                os.remove(self.flag_path)
+            except FileNotFoundError:
+                pass
+            os._exit(1)
+        return super().get(idx, rng)
+
+
+def test_process_workers_surface_decode_errors(mini_pcn):
+    """A corrupt shard must re-raise in the consumer with its ORIGINAL
+    exception type (same contract as the thread mode / torch DataLoader's
+    ExceptionWrapper), not hang or truncate the epoch."""
+    ds = _CorruptPCN(_config(mini_pcn, "train"))
+    loader = DataLoader(
+        ds, batch_size=2, shuffle=False, drop_last=True,
+        num_workers=2, worker_mode="process",
+    )
     try:
-        loader = DataLoader(
-            ds, batch_size=2, shuffle=False, drop_last=True,
-            num_workers=2, worker_mode="process",
-        )
-        with pytest.raises(Exception):
+        with pytest.raises(_CorruptShardError, match="corrupt shard"):
             list(loader)
     finally:
-        ds.get = orig_get
+        loader.close()
+
+
+def test_broken_pool_recreated_after_worker_death(mini_pcn, tmp_path):
+    """A worker hard-death surfaces BrokenProcessPool AND drops the
+    poisoned executor, so the next iteration builds a fresh pool and
+    succeeds (the pool would otherwise stay broken forever)."""
+    from concurrent.futures.process import BrokenProcessPool
+
+    flag = str(tmp_path / "die-once")
+    open(flag, "w").close()
+    ds = _DieOncePCN(_config(mini_pcn, "train"), flag)
+    loader = DataLoader(
+        ds, batch_size=2, shuffle=False, drop_last=True,
+        num_workers=2, worker_mode="process",
+    )
+    try:
+        with pytest.raises(BrokenProcessPool):
+            list(loader)
+        assert loader._proc_pool is None  # poisoned pool dropped
+        batches = list(loader)  # fresh pool over the same dataset
+        assert batches
+    finally:
+        loader.close()
