@@ -128,31 +128,47 @@ def bench_eval():
     return BATCH / dt, dt, compile_s
 
 
-def bench_train():
-    """Full train step at the paper recipe: fwd + loss + bwd + AdamW."""
+def bench_train(cfg=None, iters=TRAIN_ITERS, want_hbm=True):
+    """Full train step at the paper recipe: fwd + loss + bwd + AdamW.
+
+    ``cfg`` defaults to the flagship AdaPoinTr; branch configs (image /
+    superset) reuse the same protocol with their extra inputs built like
+    the runner's batches."""
     import jax
     import jax.numpy as jnp
     import optax
 
     from imgadapointr_tpu.models.build import build_model_spec
 
-    spec = build_model_spec(model_config(TRAIN_N_OUT))
+    spec = build_model_spec(cfg if cfg is not None else model_config(TRAIN_N_OUT))
     key = jax.random.PRNGKey(0)
-    partial = jax.random.normal(key, (TRAIN_BATCH, N_PARTIAL, 3), jnp_dtype())
-    gt = jax.random.normal(key, (TRAIN_BATCH, TRAIN_N_OUT, 3), jnp_dtype())
+    batch_arrays = {
+        "partial": jax.random.normal(key, (TRAIN_BATCH, N_PARTIAL, 3), jnp_dtype()),
+        "gt": jax.random.normal(key, (TRAIN_BATCH, TRAIN_N_OUT, 3), jnp_dtype()),
+    }
+    if "img" in spec.inputs:
+        batch_arrays["img"] = jax.random.uniform(
+            key, (TRAIN_BATCH, 224, 224, 3), jnp_dtype()
+        )
+    if "cls_vec" in spec.inputs:
+        batch_arrays["cls_vec"] = (
+            jnp.zeros((TRAIN_BATCH, 16), jnp_dtype()).at[:, 0].set(1.0)
+        )
+    inputs = [batch_arrays[k] for k in spec.inputs]
+    gt = batch_arrays["gt"]
 
     variables = jax.jit(
-        lambda k, x: spec.module.init(
-            {"params": k, "noise": k, "dropout": k}, x, train=True
+        lambda k, *i: spec.module.init(
+            {"params": k, "noise": k, "dropout": k}, *i, train=True
         )
-    )(key, partial)
+    )(key, *inputs)
     tx = optax.chain(optax.clip_by_global_norm(10.0), optax.adamw(1e-4))
     opt_state = jax.jit(tx.init)(variables["params"])
 
-    def step(params, opt_state, batch_stats, partial, gt):
+    def step(params, opt_state, batch_stats, inputs, gt):
         def loss_fn(p):
             ret, upd = spec.module.apply(
-                {"params": p, "batch_stats": batch_stats}, partial, train=True,
+                {"params": p, "batch_stats": batch_stats}, *inputs, train=True,
                 rngs={"noise": key, "dropout": key}, mutable=["batch_stats"],
             )
             s, d = spec.loss_fn(ret, gt, jnp.asarray(0.0))
@@ -167,27 +183,29 @@ def bench_train():
     params, opt_state, bs = variables["params"], opt_state, variables.get(
         "batch_stats", {}
     )
-    params, opt_state, bs, loss = jstep(params, opt_state, bs, partial, gt)
+    params, opt_state, bs, loss = jstep(params, opt_state, bs, inputs, gt)
     float(loss)  # fence (compile + first run)
     compile_s = time.time() - t0
     for _ in range(2):
-        params, opt_state, bs, loss = jstep(params, opt_state, bs, partial, gt)
+        params, opt_state, bs, loss = jstep(params, opt_state, bs, inputs, gt)
     float(loss)
     # steady state: steps chain through the donated state; fence once
     t0 = time.time()
-    for _ in range(TRAIN_ITERS):
-        params, opt_state, bs, loss = jstep(params, opt_state, bs, partial, gt)
+    for _ in range(iters):
+        params, opt_state, bs, loss = jstep(params, opt_state, bs, inputs, gt)
     float(loss)
-    dt = (time.time() - t0) / TRAIN_ITERS
+    dt = (time.time() - t0) / iters
 
     # peak-HBM observability: AOT-lower jstep ITSELF (identical jit cache
     # key as the timed executable — no retrace, no second remote compile)
     # and read XLA's memory analysis. Host-side metadata only — does not
     # touch the timed path above.
     peak_hbm_gb = None
+    if not want_hbm:
+        return dt, compile_s, None
     try:
         mem = (
-            jstep.lower(params, opt_state, bs, partial, gt)
+            jstep.lower(params, opt_state, bs, inputs, gt)
             .compile()
             .memory_analysis()
         )
@@ -207,12 +225,45 @@ def bench_train():
     return dt, compile_s, peak_hbm_gb
 
 
+def branch_config(name):
+    """Paper-recipe branch model: the flagship core dims with the branch
+    registry NAME (the shipped branch yamls keep the same core — fusion
+    width is hardcoded 384 like the reference)."""
+    cfg = model_config(TRAIN_N_OUT)
+    cfg["NAME"] = name
+    return cfg
+
+
+def bench_branch_trains():
+    """Train-step timings for the two branch families (VERDICT r4 item 8:
+    BENCH_r*.json tracks the branch steps across rounds). Soft-fail: a
+    branch measurement error degrades to absent keys, never a dead bench."""
+    out = {}
+    for key_name, name in (
+        ("img_train_step_ms_bs16_16384", "ImgResNetEncAdaPoinTrVariableLoss"),
+        ("superset_train_step_ms_bs16_16384", "ImgEncSegDecAdaPoinTrVariableLoss"),
+    ):
+        try:
+            dt, compile_s, _ = bench_train(
+                branch_config(name), iters=10, want_hbm=False
+            )
+            out[key_name] = round(dt * 1000, 1)
+            print(
+                f"# {name}: step={dt*1000:.1f}ms compile={compile_s:.0f}s",
+                file=sys.stderr,
+            )
+        except Exception as e:  # pragma: no cover — perf observability only
+            print(f"# branch bench {name} failed: {e}", file=sys.stderr)
+    return out
+
+
 def main():
     import jax
 
     n_chips = jax.local_device_count()
     eval_cps, eval_dt, eval_compile = bench_eval()
     train_dt, train_compile, peak_hbm_gb = bench_train()
+    branch_rows = bench_branch_trains()
     completions_per_s = eval_cps / max(n_chips, 1)
 
     print(
@@ -237,6 +288,7 @@ def main():
                     if peak_hbm_gb is not None
                     else {}
                 ),
+                **branch_rows,
             }
         )
     )

@@ -64,18 +64,20 @@ def _sgcam_commute_active(train: bool) -> bool:
 def _make_seg_fn(gdanet, train: bool, barrier: bool = False):
     """Frozen-GDANet feature extractor for the fusion stacks.
 
-    Under training the whole flow-through (normals → GDANet) is wrapped in
-    ``nn.remat``: gradient must flow THROUGH the frozen net into the coarse
-    cloud (reference pctransformer.py:237-278 — no detach), but none of its
-    intermediates need to survive to the backward pass — recomputing the
-    forward during backprop replaces their HBM round-trips (the (B, N, k, C)
-    edge-conv tensors dominate) with MXU/VPU replay that overlaps the rest
-    of the step. The replay runs the same deterministic math: loss values
-    are bit-equal and gradients agree to f32 rounding (XLA fuses the remat
-    backward differently, so ulp-level reassociation remains — measured
-    ~1e-6 relative; tests/test_round5_fixes.py). The seg grad-parity
-    goldens run with remat active. Opt-out:
-    ``IMGADAPOINTR_DISABLE_SEG_REMAT=1``.
+    ``IMGADAPOINTR_ENABLE_SEG_REMAT=1`` (opt-IN) wraps the whole
+    flow-through (normals → GDANet) in ``nn.remat``. Gradient must flow
+    THROUGH the frozen net into the coarse cloud (reference
+    pctransformer.py:237-278 — no detach); remat replays the forward in
+    the backward pass instead of storing residuals. MEASURED NEGATIVE for
+    speed on the paper superset step (+9 ms: 151.7 → 160.7 ms with the
+    SGCAM commute active, round 5 — the subgraph is gather-bound, so the
+    replayed edge-conv gathers cost more than the residual HBM traffic
+    they save; benchmarks/RESULTS.md), so it stays off by default; the
+    flag remains as a MEMORY lever for configs where the residuals
+    matter. The replay runs the same deterministic math: loss values are
+    bit-equal and gradients agree to f32 rounding (XLA fuses the remat
+    backward differently — measured ~1e-6 relative;
+    tests/test_round5_fixes.py).
     """
     fast = _sgcam_commute_active(train)
 
@@ -86,7 +88,7 @@ def _make_seg_fn(gdanet, train: bool, barrier: bool = False):
         )
         return feat
 
-    remat = train and not env_flag("IMGADAPOINTR_DISABLE_SEG_REMAT")
+    remat = train and env_flag("IMGADAPOINTR_ENABLE_SEG_REMAT")
     wrapped = nn.remat(body) if remat else body
 
     def seg_fn(coor, cls):

@@ -159,7 +159,7 @@ def check_grads(env, analytic_zero=None):
     assert set(got) == set(ref), (
         f"param-tree drift vs golden: {sorted(set(got) ^ set(ref))[:6]}"
     )
-    g_global = max(mx for mx, _, _ in ref.values())
+    g_global = max(d[0] for d in ref.values())
     bad = []
     for path, dig in ref.items():
         ours = np.asarray(got[path])
@@ -243,7 +243,7 @@ def check_optimizer(env, opt_kind):
 
     got = {"/".join(k): np.asarray(v) for k, v in _flat(upd).items()}
     assert set(got) == set(ref)
-    u_global = max(mx for mx, _, _ in ref.values())
+    u_global = max(d[0] for d in ref.values())
     bad = []
     for path, dig in ref.items():
         ours = got[path]

@@ -50,10 +50,12 @@ def test_sgcam_commute_gate_off_on_cpu():
 
 
 def _seg_train_grads(monkeypatch, disable_remat):
+    # remat is opt-IN (measured slower on the gather-bound GDANet subgraph;
+    # kept as a memory lever) — the test still proves its math
     if disable_remat:
-        monkeypatch.setenv("IMGADAPOINTR_DISABLE_SEG_REMAT", "1")
+        monkeypatch.delenv("IMGADAPOINTR_ENABLE_SEG_REMAT", raising=False)
     else:
-        monkeypatch.delenv("IMGADAPOINTR_DISABLE_SEG_REMAT", raising=False)
+        monkeypatch.setenv("IMGADAPOINTR_ENABLE_SEG_REMAT", "1")
     cfg = AttrDict(dict(TINY_CORE, NAME="SegEncAdaPoinTr"))
     spec = build_model_spec(cfg)
     batch = _batch(with_cls=True)
@@ -276,9 +278,11 @@ def test_start_ckpts_warm_start_e2e(tmp_path):
     def mk_cfg(max_epoch):
         cfg = cfg_from_yaml_file("cfgs/PCN_models/AdaPoinTr-tiny.yaml")
         main_mod._swap_synthetic(cfg, train_len=8)
-        cfg.total_bs = 4
+        # batch must divide the 8-virtual-device data axis (strict train
+        # sharding, parallel/mesh.shard_batch)
+        cfg.total_bs = 8
         cfg.max_epoch = max_epoch
-        cfg.dataset.train.others.bs = 4
+        cfg.dataset.train.others.bs = 8
         cfg.dataset.val.others.bs = 1
         return cfg
 
