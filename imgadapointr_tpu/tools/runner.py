@@ -37,6 +37,44 @@ from .builder import build_opt_sched, dataset_builder
 SHAPENET_DICT_PATH = os.path.join("cfgs", "shapenet_synset_dict.json")
 
 
+RSS_RESTART_EXIT_CODE = 75  # EX_TEMPFAIL: relaunch with --resume
+
+
+def _host_rss_gb() -> float:
+    import resource
+
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+
+
+def _rss_limit_gb() -> float:
+    """RSS self-preemption threshold (GB). 0 disables.
+
+    Default: 75% of host memory. Why this exists: the axon remote-TPU
+    tunnel client leaks ~the transferred bytes of HOST memory on every
+    host->device transfer (measured round 5: ~10.4 MB/step at the
+    image-branch batch = exactly the batch size; explicit Array.delete,
+    buffer reuse, plain device_put and gc.collect all leave the rate
+    unchanged — the leak is an internal staging buffer, unreachable from
+    user code). A long run therefore grows until the kernel OOM-killer
+    SIGKILLs it (observed at 130 GB anon-rss, epoch 92 of the seg-superset
+    arm). The framework turns that crash into a CLEAN self-preemption:
+    when RSS crosses the limit at an epoch boundary (ckpt-last just
+    saved atomically), exit with code 75 so a supervisor —
+    scripts/train_loop.sh — relaunches with --resume; the persistent
+    compile cache makes the restart cost seconds, not a recompile."""
+    raw = os.environ.get("IMGADAPOINTR_RSS_LIMIT_GB")
+    if raw is not None:
+        return float(raw)
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    return 0.75 * int(line.split()[1]) / 1e6
+    except OSError:
+        pass
+    return 0.0
+
+
 def _mxu_eval_f_banded(n_pred: int, n_gt: int) -> bool:
     """True when the eval suite's F-score for (n_pred, n_gt)-point clouds
     was computed under the opt-in MXU eval-chamfer kernel
@@ -505,6 +543,22 @@ def run_net(args, config, writers=None):
             _save(runner, state, "ckpt-last", epoch, None, best_metrics, args, logger)
             if epoch > max_epoch - 2:
                 _save(runner, state, f"ckpt-epoch-{epoch:03d}", epoch, None, best_metrics, args, logger)
+            # RSS watchdog self-preemption (see _rss_limit_gb): ckpt-last
+            # was just written atomically, so exiting here is a clean
+            # preemption point; code 75 asks the supervisor to --resume
+            rss_limit = _rss_limit_gb()
+            if rss_limit and epoch < max_epoch - 1 and _host_rss_gb() > rss_limit:
+                print_log(
+                    f"[rss-watchdog] host RSS {_host_rss_gb():.1f} GB > "
+                    f"limit {rss_limit:.1f} GB after epoch {epoch}; "
+                    f"ckpt-last saved — exiting {RSS_RESTART_EXIT_CODE} for "
+                    "a --resume relaunch (scripts/train_loop.sh; known "
+                    "remote-TPU tunnel per-transfer host leak)",
+                    logger,
+                )
+                import sys as _sys
+
+                _sys.exit(RSS_RESTART_EXIT_CODE)
     finally:
         # teardown: release the loaders' worker pools (persistent
         # forkserver pools otherwise rely on __del__/atexit)

@@ -185,11 +185,24 @@ def main():
             return path, len(hit)
         raise RuntimeError("no suitable block for the sparse-drift case")
 
-    spath, nflip = flip_offgrid(env3["grads"])
-    ok &= expect_fail(
-        f"sparse off-grid sign flips ({nflip} elems of {spath})",
-        lambda: check_grads(env3),
+    from parity.param_source import read_digest_tree
+
+    has_cks = any(
+        dig[3] is not None
+        for dig in read_digest_tree(env["data"], "gdig").values()
     )
+    if has_cks:
+        spath, nflip = flip_offgrid(env3["grads"])
+        ok &= expect_fail(
+            f"sparse off-grid sign flips ({nflip} elems of {spath})",
+            lambda: check_grads(env3),
+        )
+    else:
+        print(
+            "  [SKIPPED]  sparse off-grid sign flips: golden predates the "
+            "checksum digest component — regenerate (parity/PARITY.md) to "
+            "arm this case"
+        )
 
     print("SENSITIVITY " + ("OK — all injected drifts detected" if ok else "FAILED"))
     return 0 if ok else 1

@@ -258,13 +258,7 @@ def test_start_ckpts_routes_torch_pth(tmp_path, monkeypatch):
     assert int(out["step"]) == 3  # untouched by the weights-only load
 
 
-def test_start_ckpts_warm_start_e2e(tmp_path):
-    """main.py-style warm start: train 1 tiny epoch, then start a fresh run
-    with --start_ckpts pointing at the produced arbitrary-path checkpoint;
-    the new run's initial params must equal the donor's weights."""
-    import types
-
-    from imgadapointr_tpu.tools.runner import run_net
+def _tiny_synth_cfg(max_epoch):
     from imgadapointr_tpu.utils.config import cfg_from_yaml_file
 
     import importlib.util
@@ -275,25 +269,35 @@ def test_start_ckpts_warm_start_e2e(tmp_path):
     main_mod = importlib.util.module_from_spec(mspec)
     mspec.loader.exec_module(main_mod)
 
-    def mk_cfg(max_epoch):
-        cfg = cfg_from_yaml_file("cfgs/PCN_models/AdaPoinTr-tiny.yaml")
-        main_mod._swap_synthetic(cfg, train_len=8)
-        # batch must divide the 8-virtual-device data axis (strict train
-        # sharding, parallel/mesh.shard_batch)
-        cfg.total_bs = 8
-        cfg.max_epoch = max_epoch
-        cfg.dataset.train.others.bs = 8
-        cfg.dataset.val.others.bs = 1
-        return cfg
+    cfg = cfg_from_yaml_file("cfgs/PCN_models/AdaPoinTr-tiny.yaml")
+    main_mod._swap_synthetic(cfg, train_len=8)
+    # batch must divide the 8-virtual-device data axis (strict train
+    # sharding, parallel/mesh.shard_batch)
+    cfg.total_bs = 8
+    cfg.max_epoch = max_epoch
+    cfg.dataset.train.others.bs = 8
+    cfg.dataset.val.others.bs = 1
+    return cfg
 
-    def mk_args(exp, start_ckpts=None):
-        os.makedirs(exp, exist_ok=True)
-        return types.SimpleNamespace(
-            experiment_path=exp, seed=0, num_workers=2, tp=1, gdanet_w=None,
-            val_freq=1, resume=False, start_ckpts=start_ckpts, ckpts=None,
-            emd=False, wandb=False, profile=False,
-        )
 
+def _mk_args(exp, start_ckpts=None, resume=False):
+    import types
+
+    os.makedirs(exp, exist_ok=True)
+    return types.SimpleNamespace(
+        experiment_path=exp, seed=0, num_workers=2, tp=1, gdanet_w=None,
+        val_freq=1, resume=resume, start_ckpts=start_ckpts, ckpts=None,
+        emd=False, wandb=False, profile=False,
+    )
+
+
+def test_start_ckpts_warm_start_e2e(tmp_path):
+    """main.py-style warm start: train 1 tiny epoch, then start a fresh run
+    with --start_ckpts pointing at the produced arbitrary-path checkpoint;
+    the new run's initial params must equal the donor's weights."""
+    from imgadapointr_tpu.tools.runner import run_net
+
+    mk_cfg, mk_args = _tiny_synth_cfg, _mk_args
     exp1 = str(tmp_path / "donor")
     state1 = run_net(mk_args(exp1), mk_cfg(1), writers=None)
     donor_path = os.path.join(exp1, "ckpt-last.ckpt")
@@ -311,3 +315,44 @@ def test_start_ckpts_warm_start_e2e(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     # fresh optimizer: step counter back at zero
     assert int(state2["step"]) == 0
+
+
+def test_rss_watchdog_self_preempts_and_resumes(tmp_path, monkeypatch):
+    """The RSS watchdog converts the remote-tunnel host leak into a clean
+    self-preemption: ckpt-last saved, exit code 75, and a --resume relaunch
+    (scripts/train_loop.sh's contract) finishes the run."""
+    from imgadapointr_tpu.tools import runner as runner_mod
+    from imgadapointr_tpu.utils.checkpoint import load_checkpoint
+
+    exp = str(tmp_path / "wd")
+    monkeypatch.setenv("IMGADAPOINTR_RSS_LIMIT_GB", "1")
+    monkeypatch.setattr(runner_mod, "_host_rss_gb", lambda: 999.0)
+    with pytest.raises(SystemExit) as exc:
+        runner_mod.run_net(_mk_args(exp), _tiny_synth_cfg(2), writers=None)
+    assert exc.value.code == runner_mod.RSS_RESTART_EXIT_CODE == 75
+    # checkpoint written BEFORE the self-preemption, loadable
+    assert os.path.exists(os.path.join(exp, "ckpt-last.ckpt"))
+
+    # supervisor relaunch: --resume with the watchdog disabled finishes
+    monkeypatch.setenv("IMGADAPOINTR_RSS_LIMIT_GB", "0")
+    state = runner_mod.run_net(
+        _mk_args(exp, resume=True), _tiny_synth_cfg(2), writers=None
+    )
+    _, meta = load_checkpoint(
+        {"params": state["params"], "batch_stats": state["batch_stats"],
+         "opt_state": state["opt_state"], "step": state["step"]},
+        "ckpt-last", exp,
+    )
+    assert int(meta["epoch"]) == 1  # final epoch of the 2-epoch run
+
+
+def test_rss_watchdog_not_tripped_on_final_epoch(tmp_path, monkeypatch):
+    """A run on its LAST epoch completes instead of self-preempting (no
+    point restarting a finished run)."""
+    from imgadapointr_tpu.tools import runner as runner_mod
+
+    exp = str(tmp_path / "wd2")
+    monkeypatch.setenv("IMGADAPOINTR_RSS_LIMIT_GB", "1")
+    monkeypatch.setattr(runner_mod, "_host_rss_gb", lambda: 999.0)
+    state = runner_mod.run_net(_mk_args(exp), _tiny_synth_cfg(1), writers=None)
+    assert state is not None
