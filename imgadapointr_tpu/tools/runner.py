@@ -533,21 +533,33 @@ def run_net(args, config, writers=None):
                     {"epoch": epoch, "train/sparse": ep_sparse, "train/dense": ep_dense}
                 )
 
+            # --save_freq: checkpoint cadence. Default 1 = the reference's
+            # every-epoch best/last policy. At real scale over a remote-TPU
+            # tunnel ONE full-state fetch costs ~60 s (390 MB at ~6 MB/s,
+            # measured round 5 — the dominant epoch cost at 192-step
+            # epochs), so operators on such links raise this to amortise;
+            # the final two epochs and the RSS watchdog always save.
+            save_freq = max(1, int(getattr(args, "save_freq", 1) or 1))
+            save_epoch = (epoch % save_freq == 0) or epoch >= max_epoch - 2
             if epoch % int(getattr(args, "val_freq", 1)) == 0:
                 metrics = validate(runner, state, val_loader, epoch, val_writer, args, config, logger)
                 if wandb_run:
                     wandb_run.log({"epoch": epoch, **{f"val/{k}": v for k, v in metrics.state_dict().items()}})
                 if metrics.better_than(best_metrics):
                     best_metrics = metrics
-                    _save(runner, state, "ckpt-best", epoch, metrics, best_metrics, args, logger)
-            _save(runner, state, "ckpt-last", epoch, None, best_metrics, args, logger)
+                    if save_epoch:
+                        _save(runner, state, "ckpt-best", epoch, metrics, best_metrics, args, logger)
+            if save_epoch:
+                _save(runner, state, "ckpt-last", epoch, None, best_metrics, args, logger)
             if epoch > max_epoch - 2:
                 _save(runner, state, f"ckpt-epoch-{epoch:03d}", epoch, None, best_metrics, args, logger)
-            # RSS watchdog self-preemption (see _rss_limit_gb): ckpt-last
-            # was just written atomically, so exiting here is a clean
+            # RSS watchdog self-preemption (see _rss_limit_gb): exiting at
+            # an epoch boundary with ckpt-last on disk is a clean
             # preemption point; code 75 asks the supervisor to --resume
             rss_limit = _rss_limit_gb()
             if rss_limit and epoch < max_epoch - 1 and _host_rss_gb() > rss_limit:
+                if not save_epoch:  # ensure resume loses nothing
+                    _save(runner, state, "ckpt-last", epoch, None, best_metrics, args, logger)
                 print_log(
                     f"[rss-watchdog] host RSS {_host_rss_gb():.1f} GB > "
                     f"limit {rss_limit:.1f} GB after epoch {epoch}; "

@@ -34,6 +34,13 @@ def get_args(argv=None):
     parser.add_argument("--ckpts", type=str, default=None)
     parser.add_argument("--val_freq", type=int, default=1)
     parser.add_argument(
+        "--save_freq", type=int, default=1,
+        help="checkpoint every N epochs (default 1 = reference parity; a "
+        "full-state device->host fetch costs ~60s over a remote-TPU "
+        "tunnel at the 32M-param recipe, so raise this on such links — "
+        "final-2 epochs and the RSS watchdog always checkpoint)",
+    )
+    parser.add_argument(
         "--val_bs",
         type=int,
         default=1,

@@ -356,3 +356,28 @@ def test_rss_watchdog_not_tripped_on_final_epoch(tmp_path, monkeypatch):
     monkeypatch.setattr(runner_mod, "_host_rss_gb", lambda: 999.0)
     state = runner_mod.run_net(_mk_args(exp), _tiny_synth_cfg(1), writers=None)
     assert state is not None
+
+
+def test_save_freq_throttles_checkpoint_cadence(tmp_path):
+    """--save_freq N writes ckpt-last only on multiples of N (plus the
+    final two epochs) — the mitigation for the measured ~60s/epoch
+    full-state fetch over a remote-TPU tunnel. Default 1 = reference
+    every-epoch parity."""
+    from imgadapointr_tpu.tools.runner import run_net
+    from imgadapointr_tpu.utils.checkpoint import load_checkpoint
+
+    exp = str(tmp_path / "sf")
+    args = _mk_args(exp)
+    args.save_freq = 3
+    args.val_freq = 10  # no best-saves interfering
+    state = run_net(args, _tiny_synth_cfg(5), writers=None)
+    assert state is not None
+    # epochs 0..4: saves at 0, 3 (multiples) and 3, 4 (final two) — the
+    # last write is epoch 4
+    _, meta = load_checkpoint(
+        {"params": state["params"], "batch_stats": state["batch_stats"],
+         "opt_state": state["opt_state"], "step": state["step"]},
+        "ckpt-last", exp,
+    )
+    assert int(meta["epoch"]) == 4
+    assert os.path.exists(os.path.join(exp, "ckpt-epoch-004.ckpt"))
