@@ -234,15 +234,28 @@ def branch_config(name):
     return cfg
 
 
-def bench_branch_trains():
+def bench_branch_trains(start_time=None):
     """Train-step timings for the two branch families (VERDICT r4 item 8:
     BENCH_r*.json tracks the branch steps across rounds). Soft-fail: a
-    branch measurement error degrades to absent keys, never a dead bench."""
+    branch measurement error degrades to absent keys, never a dead bench.
+    A wall-clock budget ($IMGADAPOINTR_BENCH_BUDGET_S since bench start,
+    default 1500 s) skips remaining branch rows when first-compiles run
+    long — the headline rows must never be starved by optional ones."""
     out = {}
+    budget = float(os.environ.get("IMGADAPOINTR_BENCH_BUDGET_S", 1500))
+    t_start = start_time if start_time is not None else time.time()
     for key_name, name in (
         ("img_train_step_ms_bs16_16384", "ImgResNetEncAdaPoinTrVariableLoss"),
         ("superset_train_step_ms_bs16_16384", "ImgEncSegDecAdaPoinTrVariableLoss"),
     ):
+        if time.time() - t_start > budget:
+            print(
+                f"# branch bench {name} skipped: over the "
+                f"{budget:.0f}s bench budget (cold compiles; rerun to pick "
+                "it up from the compile cache)",
+                file=sys.stderr,
+            )
+            continue
         try:
             dt, compile_s, _ = bench_train(
                 branch_config(name), iters=10, want_hbm=False
@@ -261,9 +274,10 @@ def main():
     import jax
 
     n_chips = jax.local_device_count()
+    t_start = time.time()
     eval_cps, eval_dt, eval_compile = bench_eval()
     train_dt, train_compile, peak_hbm_gb = bench_train()
-    branch_rows = bench_branch_trains()
+    branch_rows = bench_branch_trains(start_time=t_start)
     completions_per_s = eval_cps / max(n_chips, 1)
 
     print(
